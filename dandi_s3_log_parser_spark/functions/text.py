@@ -1,0 +1,118 @@
+"""Web-page text handling: header/body split + text-analysis functions.
+
+The graft input (BASELINE.json input_hint) is a table of Common-Crawl
+style pages ``(url, warc_ts, html:binary, text, lang)``.  Our ``html``
+payload is UTF-8 bytes whose FIRST line is an S3-access-log-style header
+record and whose remainder is the document body; ``extract_text`` must
+reproduce ``text`` **byte-identically** per url (north-rule invariant).
+
+All functions here are native Column expressions (JVM codegen); nothing
+crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small English function-word set for the language-ID / quality
+# heuristics (public-knowledge stopwords, not tied to any system).
+EN_STOPWORDS: tuple[str, ...] = (
+    "the", "of", "and", "to", "a", "in", "is", "it", "you", "that",
+    "he", "was", "for", "on", "are", "with", "as", "his", "they", "at",
+    "be", "this", "have", "from", "or", "one", "had", "by", "word", "but",
+    "not", "what", "all", "were", "we", "when", "your", "can", "said",
+    "there", "use", "an", "each", "which", "she", "do", "how", "their", "if",
+)
+
+DE_STOPWORDS: tuple[str, ...] = (
+    "der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu",
+    "den", "von", "im", "auf", "für", "als", "auch", "sich", "des", "dem",
+)
+
+
+def html_to_string(html: Column) -> Column:
+    """Decode the UTF-8 html payload to a string column."""
+    return F.decode(html, "UTF-8")
+
+
+def header_line(html_str: Column) -> Column:
+    """First line of the page payload = the embedded log-style record."""
+    return F.substring_index(html_str, "\n", 1)
+
+
+def with_header_and_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Add ``header`` (log record) and ``extracted_text`` columns natively."""
+    s = html_to_string(F.col(html_col))
+    df = pages.withColumn("_html_str", s)
+    df = df.withColumn("header", header_line(F.col("_html_str")))
+    df = df.withColumn(
+        "extracted_text",
+        F.when(
+            F.instr(F.col("_html_str"), "\n") > 0,
+            F.expr("substring(_html_str, instr(_html_str, '\\n') + 1)"),
+        ).otherwise(F.lit("")),
+    )
+    return df.drop("_html_str")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty tokens removed)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation runs."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length, punctuation,
+    stopword presence — the shape of C4/Gopher-style quality rules."""
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
+    return (len_score + stop_score + punct_penalty) / 3.0
+
+
+def lang_id(text: Column) -> Column:
+    """Tiny deterministic language-ID heuristic: EN vs DE stopword hits."""
+    toks = tokens(F.lower(text))
+    en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    de = F.size(F.filter(toks, lambda t: t.isin(*DE_STOPWORDS)))
+    return (
+        F.when((en == 0) & (de == 0), F.lit("unknown"))
+        .when(en >= de, F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def fingerprint64(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint (xxhash64 of the text)."""
+    return F.xxhash64(text)
