@@ -1,38 +1,622 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator class from
+SURVEY.md §2 (plus the training-data-pipeline operators), each runnable
+on the driver-provided TPC-H-ish tables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL.  Non-SQL-expressible operators (MinHash-LSH,
+SimHash, LSH-ANN, the synthetic-pages pipeline) have queries() entries
+without oracles (rows-only checks).
+
+Column-name/type parity rules used throughout: every computed column is
+aliased identically on both sides; money/double sums are computed on
+integer cents (``cast(round(x*100) as bigint)``) so engine float-sum
+order cannot perturb the value hash; ratios are single IEEE divisions
+rounded to 4-6 dp.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dandi_s3_log_parser_spark.functions.text import (  # noqa: E402
+    DE_STOPWORDS,
+    EN_STOPWORDS,
+)
+
+_T = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse-enrich-route-aggregate analog on sf0.001 — events
+    joined through the customer->nation->region dimension chain
+    (broadcast), aggregated by day x region (SURVEY §2 A2/A3 + J1/J2)."""
+    sf = "/root/testdata/sf0.001"
+    events = _load(spark, sf, "events")
+    customer = _load(spark, sf, "customer")
+    nation = _load(spark, sf, "nation")
+    region = _load(spark, sf, "region")
+    dim = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("c_custkey").alias("user_id"), "r_name")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .fillna({"r_name": "unknown"})
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+            F.col("r_name").alias("region"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .orderBy("date", "region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() — Spark implementations
+# ---------------------------------------------------------------------------
+
+
+def q_reduce_filter_project(spark, sf):
+    """P4-P7/P12-P14: filter + typed projection with ISO timestamp."""
+    return (
+        _load(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+            "user_id",
+            _cents(F.col("value")).alias("value_cents"),
+        )
+    )
+
+
+def q_regex_extract(spark, sf):
+    """P1: regex field extraction + groupBy count."""
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("long")
+    return (
+        _load(spark, sf, "events")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_key_rewrite(spark, sf):
+    """P11: zarr-style key truncation (first two path segments)."""
+    from dandi_s3_log_parser_spark.operators.reduce import truncate_zarr_key
+
+    key = F.concat_ws("/", F.lit("zarr"), F.col("p_brand"), F.col("p_type"))
+    return (
+        _load(spark, sf, "part")
+        .select(truncate_zarr_key(key).alias("object_key"))
+        .groupBy("object_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_null_sentinel_cast(spark, sf):
+    """P13: sentinel-aware cast then aggregate."""
+    bytes_sent = F.when(F.col("l_returnflag") == "N", F.lit(0)).otherwise(
+        F.floor("l_quantity").cast("long")
+    )
+    return (
+        _load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum(bytes_sent).alias("bytes_sum"))
+    )
+
+
+def q_by_day_agg(spark, sf):
+    """A2/P15: daily binning + sum."""
+    return (
+        _load(spark, sf, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"))
+        .agg(F.sum(_cents(F.col("value"))).alias("value_cents"))
+    )
+
+
+def q_by_region_agg(spark, sf):
+    """A3 + J1/J2: broadcast dim chain + sum by region."""
+    orders = _load(spark, sf, "orders")
+    customer = _load(spark, sf, "customer")
+    nation = _load(spark, sf, "nation")
+    region = _load(spark, sf, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("price_cents"))
+    )
+
+
+def q_range_join(spark, sf):
+    """J3: non-equi range join against a broadcast bucket dim."""
+    buckets = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e9, "high")],
+        "lo double, hi double, bucket string",
+    )
+    e = _load(spark, sf, "events")
+    return (
+        e.join(F.broadcast(buckets), (e.value >= F.col("lo")) & (e.value < F.col("hi")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+    )
+
+
+def q_anti_join(spark, sf):
+    """J5: resume-style anti join (customers with no orders)."""
+    customer = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def q_semi_join(spark, sf):
+    """left-semi: parts that appear in lineitem."""
+    part = _load(spark, sf, "part")
+    li = _load(spark, sf, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey"
+    )
+
+
+def q_window_rownumber(spark, sf):
+    """§2.5: row_number per partition (first 2 events per user)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _load(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("event_id", "user_id", "rn")
+    )
+
+
+def q_sort_limit_topk(spark, sf):
+    """O3/O4: top-50 by value desc with deterministic tie-break."""
+    return (
+        _load(spark, sf, "orders")
+        .select("o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents"))
+        .orderBy(F.desc("price_cents"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+def q_union_distinct(spark, sf):
+    """O6/A6: union + distinct."""
+    a = _load(spark, sf, "events").select(F.col("event_type").alias("x"))
+    b = _load(spark, sf, "orders").select(F.col("o_orderstatus").alias("x"))
+    return a.unionByName(b).distinct()
+
+
+def q_rollup_agg(spark, sf):
+    """A5: hierarchical rollup (region -> nation -> grand total)."""
+    customer = _load(spark, sf, "customer")
+    nation = _load(spark, sf, "nation")
+    region = _load(spark, sf, "region")
+    j = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return j.rollup("r_name", "n_name").agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents")
+    )
+
+
+def q_hash_enrich(spark, sf):
+    """J2: salted-hash anonymization key (md5 used for oracle parity;
+    the pipeline itself uses sha1, which DuckDB lacks)."""
+    return _load(spark, sf, "customer").select(
+        "c_custkey", F.md5(F.concat(F.col("c_name"), F.lit("#salt"))).alias("ip_hash")
+    )
+
+
+def q_distinct_ops(spark, sf):
+    """A6: distinct set."""
+    return _load(spark, sf, "events").select("event_type").distinct()
+
+
+def q_hourly_window(spark, sf):
+    """tumbling 1-hour window aggregation (streaming-style bin)."""
+    return (
+        _load(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("hour_start"),
+            "n",
+            "value_cents",
+        )
+    )
+
+
+# --- training-data pipeline operators --------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    from dandi_s3_log_parser_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_load(spark, sf, "documents"))
+
+
+def q_token_count(spark, sf):
+    from dandi_s3_log_parser_spark.functions.text import token_count
+
+    d = _load(spark, sf, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_stopword_ratio(spark, sf):
+    from dandi_s3_log_parser_spark.functions.text import stopword_ratio
+
+    d = _load(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(stopword_ratio(F.col("text")), 4).alias("stop_ratio")
+    )
+
+
+def q_lang_id(spark, sf):
+    from dandi_s3_log_parser_spark.functions.text import lang_id
+
+    d = _load(spark, sf, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    d = _load(spark, sf, "documents")
+    return d.select("doc_id", F.md5("text").alias("fp"))
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    from dandi_s3_log_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, threshold=0.2, n=3, max_rows=200)
+
+
+def q_cosine_topk(spark, sf):
+    from dandi_s3_log_parser_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10, query_id_col="query_id").select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_embedding_sim_pairs(spark, sf):
+    from dandi_s3_log_parser_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _load(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    return embedding_near_dup_pairs(emb, threshold=0.2, max_rows=150).select(
+        "id_a", "id_b"
+    )
+
+
+# --- non-SQL-expressible (rows-only checks) ---------------------------------
+
+
+def q_minhash_lsh_dedup(spark, sf):
+    from dandi_s3_log_parser_spark.operators.dedup import minhash_dedup
+
+    d = _load(spark, sf, "documents")
+    return minhash_dedup(d, threshold=0.5)
+
+
+def q_simhash_near_dup(spark, sf):
+    from dandi_s3_log_parser_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return simhash_near_dup_pairs(d, max_hamming=8)
+
+
+def q_lsh_ann_topk(spark, sf):
+    from dandi_s3_log_parser_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_bucketed_topk(
+        emb, queries, k=10, dim=dim, n_planes=8, query_id_col="query_id"
+    )
+
+
+def q_pages_pipeline(spark, sf):
+    """Full graft pipeline on deterministic synthetic pages (rows-only):
+    parse -> enrich -> route -> aggregate, returning the dandiset by-day
+    summary."""
+    import tempfile
+
+    from dandi_s3_log_parser_spark.datagen import generate, to_spark
+    from dandi_s3_log_parser_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from dandi_s3_log_parser_spark.sources.tables import Catalog
+
+    tables = generate(600, seed=21)
+    pages, dims = to_spark(spark, tables)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="entry_pipeline_"))
+    run_pipeline(spark, cat, pages, dims, PipelineConfig(), "entry")
+    return cat.read("dandiset_summary_by_day")
+
+
+def q_multimodal_decode(spark, sf):
+    """Binary media plumbing (rows-only): synthetic pages html bytes ->
+    mapInPandas decode-stub -> per-kind stats."""
+    from dandi_s3_log_parser_spark.datagen import generate, to_spark
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        decode_media,
+        media_from_pages,
+    )
+
+    tables = generate(300, seed=13)
+    pages, _ = to_spark(spark, tables)
+    decoded = decode_media(media_from_pages(pages))
+    return decoded.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("byte_len").alias("total_bytes")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "reduce_filter_project": q_reduce_filter_project,
+        "regex_extract": q_regex_extract,
+        "key_rewrite": q_key_rewrite,
+        "null_sentinel_cast": q_null_sentinel_cast,
+        "by_day_agg": q_by_day_agg,
+        "by_region_agg": q_by_region_agg,
+        "range_join": q_range_join,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "window_rownumber": q_window_rownumber,
+        "sort_limit_topk": q_sort_limit_topk,
+        "union_distinct": q_union_distinct,
+        "rollup_agg": q_rollup_agg,
+        "hash_enrich": q_hash_enrich,
+        "distinct_ops": q_distinct_ops,
+        "hourly_window": q_hourly_window,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "stopword_ratio": q_stopword_ratio,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "cosine_topk": q_cosine_topk,
+        "embedding_sim_pairs": q_embedding_sim_pairs,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "pages_pipeline": q_pages_pipeline,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB equivalents
+# ---------------------------------------------------------------------------
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_EN = _sql_list(EN_STOPWORDS)
+_DE = _sql_list(DE_STOPWORDS)
+
+_TOKENS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKENS.format(col="text")
+    toks_lower = _TOKENS.format(col="lower(text)")
+    return {
+        "reduce_filter_project": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+                   user_id,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM events WHERE event_type = 'click'
+        """,
+        "regex_extract": """
+            SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "key_rewrite": """
+            SELECT 'zarr/' || p_brand AS object_key, count(*) AS n
+            FROM part GROUP BY 1
+        """,
+        "null_sentinel_cast": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_returnflag = 'N' THEN 0
+                            ELSE CAST(floor(l_quantity) AS BIGINT) END) AS bytes_sum
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "by_day_agg": """
+            SELECT strftime(ts, '%Y-%m-%d') AS date,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1
+        """,
+        "by_region_agg": """
+            SELECT r_name,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "range_join": """
+            SELECT b.bucket, count(*) AS n,
+                   sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+            FROM events e
+            JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'),
+                         (100.0, 1000000000.0, 'high')) AS b(lo, hi, bucket)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.bucket
+        """,
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "semi_join": """
+            SELECT p_partkey FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "window_rownumber": """
+            SELECT event_id, user_id, rn FROM (
+                SELECT event_id, user_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 2
+        """,
+        "sort_limit_topk": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders
+            ORDER BY price_cents DESC, o_orderkey ASC
+            LIMIT 50
+        """,
+        "union_distinct": """
+            SELECT DISTINCT x FROM (
+                SELECT event_type AS x FROM events
+                UNION ALL
+                SELECT o_orderstatus AS x FROM orders
+            )
+        """,
+        "rollup_agg": """
+            SELECT r_name, n_name,
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "hash_enrich": """
+            SELECT c_custkey, md5(c_name || '#salt') AS ip_hash FROM customer
+        """,
+        "distinct_ops": "SELECT DISTINCT event_type FROM events",
+        "hourly_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS hour_start,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "token_count": f"""
+            SELECT doc_id, len({toks}) AS n_tokens FROM documents
+        """,
+        "stopword_ratio": f"""
+            SELECT doc_id,
+                   round(CASE WHEN len({toks_lower}) > 0
+                         THEN len(list_filter({toks_lower}, x -> x IN ({_EN})))
+                              / CAST(len({toks_lower}) AS DOUBLE)
+                         ELSE 0.0 END, 4) AS stop_ratio
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT lang_guess, count(*) AS n FROM (
+                SELECT CASE
+                    WHEN len(list_filter({toks_lower}, x -> x IN ({_EN}))) = 0
+                     AND len(list_filter({toks_lower}, x -> x IN ({_DE}))) = 0
+                    THEN 'unknown'
+                    WHEN len(list_filter({toks_lower}, x -> x IN ({_EN})))
+                      >= len(list_filter({toks_lower}, x -> x IN ({_DE})))
+                    THEN 'en' ELSE 'de' END AS lang_guess
+                FROM documents
+            ) GROUP BY 1
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len({toks_lower}) - 1, 1)),
+                           i -> {toks_lower}[i] || ' ' || {toks_lower}[i+1]
+                                || ' ' || {toks_lower}[i+2]
+                       )) AS grams
+                FROM documents
+                WHERE doc_id < 200 AND len({toks_lower}) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))),
+                         4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+        """,
+        "cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 3
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(
+                               list_dot_product(e.embedding::DOUBLE[], q.qv)
+                               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                        e.embedding::DOUBLE[]))
+                                  * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                               e.vec_id ASC
+                       ) AS rank
+                FROM embeddings e CROSS JOIN q
+            ) WHERE rank <= 10
+        """,
+        "embedding_sim_pairs": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 150
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+        """,
+    }

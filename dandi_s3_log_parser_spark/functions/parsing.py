@@ -141,13 +141,13 @@ def resolve_status_bytes_batch(lines: pd.Series) -> pd.DataFrame:
     produces the identical kept row with bytes 0).  Rows failing the fast
     checks take the per-row regex repair parse.
     """
-    lines = lines.fillna("")
+    lines = lines.fillna("").astype(str)
     segs = lines.str.split('" ')
-    seg1 = segs.str.get(1)
+    seg1 = segs.str.get(1).fillna("").astype(str)
     blk = seg1.str.split(" ")
     blk_len = blk.str.len()
-    status = blk.str.get(0)
-    bytes_raw = blk.str.get(2)
+    status = blk.str.get(0).fillna("").astype(str)
+    bytes_raw = blk.str.get(2).fillna("").astype(str)
 
     status_digit = status.str.fullmatch(r"[0-9]+", na=False)
     bytes_ok = bytes_raw.str.fullmatch(r"[0-9]+", na=False) | (bytes_raw == "-")

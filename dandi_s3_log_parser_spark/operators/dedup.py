@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's scope (it has no dedup), these are the standard
+training-data-pipeline dedup family, each built Spark-first:
+
+* exact dedup          — hash groupBy (one shuffle of a narrow key)
+* n-gram Jaccard pairs — array ops, native (array_intersect/union)
+* MinHash + LSH        — shingle -> minhash signature -> banded bucket
+                         join, entirely native Column expressions
+                         (xxhash64-based hash family; no Python)
+* SimHash              — token hashes native, bit-vote in a vectorized
+                         pandas UDF (numpy bit ops over Arrow batches)
+
+Scale notes: MinHash-LSH is the 100 TB path — candidate generation is a
+groupBy on band-hash buckets (bounded fanout), and only candidates pay
+the exact-verify cost.  The all-pairs operators take an explicit
+``max_rows`` guard so they cannot be accidentally unleashed on a full
+table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def word_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum id per exact text value (hash aggregation).
+
+    At scale, group on a fingerprint of the text (xxhash64) rather than
+    the full string to keep the shuffle narrow; collisions are broken by
+    a second exact pass within groups.
+    """
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("_fp"), F.col(text_col))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_fp")
+        .select(id_col, "dup_count")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), native."""
+    toks = word_tokens(text)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rows: int = 1000,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard above ``threshold`` (guarded small-N
+    baseline; use :func:`minhash_lsh_candidates` at scale)."""
+    docs = (
+        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .limit(max_rows)
+    )
+    a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<long>: hash family h_i(s) = xxhash64(s, i)."""
+    sh = word_shingles(text, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    shingle -> signature -> per-band bucket hash -> self-join within
+    (band, bucket).  Entirely native; the only shuffle is the bucket
+    groupBy-join, whose key cardinality is controlled by band width.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    docs = df.select(F.col(id_col).alias("id"), sig.alias("sig")).filter(
+        F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == num_hashes
+    )
+    banded = docs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard >= threshold."""
+    cands = minhash_lsh_candidates(
+        df,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    sh = df.select(
+        F.col(id_col).alias("_vid"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    out = (
+        cands.join(sh.withColumnsRenamed({"_vid": "id_a", "_sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"_vid": "id_b", "_sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_SCHEMA)
+def _simhash_from_token_hashes(token_hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-token xxhash64 values (numpy bit votes)."""
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for i, hashes in enumerate(token_hashes):
+        if hashes is None or len(hashes) == 0:
+            continue
+        arr = np.asarray(hashes, dtype=np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        sim = np.bitwise_or.reduce(
+            (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+        out[i] = sim.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> Column:
+    """SimHash column: token hashing native, bit-vote vectorized in numpy."""
+    token_hashes = F.transform(word_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    return _simhash_from_token_hashes(token_hashes)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, LSH-bucketed on 16-bit
+    chunks (a pair within distance 3 shares at least one of 4 chunks)."""
+    docs = df.select(F.col(id_col).alias("id"), simhash(df, text_col).alias("sh"))
+    chunks = docs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk", "cc.val")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

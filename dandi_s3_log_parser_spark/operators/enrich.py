@@ -1,0 +1,124 @@
+"""Stage 3a — IP anonymization + region enrichment as broadcast joins.
+
+Spark-first recast of the reference's per-row resolver
+(``src/dandi_s3_log_parser/_ip_utils.py:22-115``).  Precedence order is
+preserved exactly:
+
+1. salted-sha1 hash cache hit (``_ip_utils.py:48-53``);
+2. first CIDR-range match in service order GitHub -> AWS -> GCP -> VPN,
+   first range within a service (``_ip_utils.py:59-80``), emitting
+   ``Service`` or ``Service/subregion``;
+3. geo lookup (ipinfo in the reference, ``_ip_utils.py:84-115``) —
+   replaced by a deterministic synthetic ``geo_fallback`` table;
+4. ``unknown``.
+
+Scale design: rather than range-joining every fact row against the CIDR
+table, we enrich the **distinct ip dimension** (the reference's dict
+cache is exactly this memoization) and broadcast the resulting
+ip -> region map back onto the facts.  Distinct IPs are orders of
+magnitude fewer than fact rows, so the non-equi range join only ever
+touches a small table; the fact-side join stays a broadcast hash join —
+no shuffle of the big side beyond the distinct().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import TEST_IP_HASH_SALT
+
+
+def ip_hash_col(ip: Column, salt: str = TEST_IP_HASH_SALT) -> Column:
+    """sha1(ip_bytes + salt_bytes) hex — reference ``_ip_utils.py:48``."""
+    return F.sha1(F.concat(ip, F.lit(salt)))
+
+
+def ip_to_long_col(ip: Column) -> Column:
+    """Dotted-quad IPv4 -> long, for the CIDR containment range join."""
+    p = F.split(ip, r"\.")
+    return (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+
+
+def build_ip_region_map(
+    distinct_ips: DataFrame,
+    ip_region_cache: DataFrame,
+    cidr_ranges: DataFrame,
+    geo_fallback: DataFrame,
+    *,
+    salt: str = TEST_IP_HASH_SALT,
+) -> DataFrame:
+    """(ip_address -> region) over the distinct-IP dimension.
+
+    ``cidr_ranges`` carries (service, subregion, net_start, net_end,
+    precedence) with ``precedence`` encoding service order then
+    within-service order; first-match-wins is a ``row_number() == 1``
+    over candidates ordered by precedence (SURVEY §2.3 J3).
+    """
+    ips = distinct_ips.select("ip_address").distinct()
+    ips = ips.withColumn("ip_hash", ip_hash_col(F.col("ip_address"), salt))
+    ips = ips.withColumn("ip_long", ip_to_long_col(F.col("ip_address")))
+
+    cache = ip_region_cache.select("ip_hash", F.col("region").alias("cache_region"))
+    ips = ips.join(F.broadcast(cache), "ip_hash", "left")
+
+    cidr = cidr_ranges.select(
+        F.when(
+            F.col("subregion").isNotNull(),
+            F.concat_ws("/", F.col("service"), F.col("subregion")),
+        )
+        .otherwise(F.col("service"))
+        .alias("cidr_region"),
+        "net_start",
+        "net_end",
+        "precedence",
+    )
+    candidates = ips.join(
+        F.broadcast(cidr),
+        (F.col("ip_long") >= F.col("net_start")) & (F.col("ip_long") <= F.col("net_end")),
+        "left",
+    )
+    w = Window.partitionBy("ip_address").orderBy(F.col("precedence").asc_nulls_last())
+    first_match = (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "net_start", "net_end", "precedence")
+    )
+
+    geo = geo_fallback.select("ip_hash", F.col("region").alias("geo_region"))
+    first_match = first_match.join(F.broadcast(geo), "ip_hash", "left")
+
+    return first_match.select(
+        "ip_address",
+        "ip_hash",
+        F.coalesce(
+            F.when(F.col("ip_address") == "unknown", F.lit("unknown")),
+            F.col("cache_region"),
+            F.col("cidr_region"),
+            F.col("geo_region"),
+            F.lit("unknown"),
+        ).alias("region"),
+    )
+
+
+def enrich_with_region(
+    facts: DataFrame,
+    ip_region_cache: DataFrame,
+    cidr_ranges: DataFrame,
+    geo_fallback: DataFrame,
+    *,
+    salt: str = TEST_IP_HASH_SALT,
+) -> DataFrame:
+    """Add ``region`` to fact rows via a broadcast join on the enriched
+    distinct-IP map.  The fact table is never shuffled."""
+    ip_map = build_ip_region_map(
+        facts.select("ip_address"), ip_region_cache, cidr_ranges, geo_fallback, salt=salt
+    )
+    return facts.join(
+        F.broadcast(ip_map.select("ip_address", "region")), "ip_address", "left"
+    ).fillna({"region": "unknown"})

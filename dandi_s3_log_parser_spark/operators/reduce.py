@@ -88,11 +88,15 @@ def parse_and_filter_log_lines(
     line = F.col(line_col)
     toks = F.split(line, " ")
 
+    # try_element_at: genuinely short/garbage lines yield NULL fields and
+    # fall out on the operation filter (the reference's fast path throws
+    # and error-collects per line; at 10^12 rows a throwing task is not
+    # an option, and such lines can't match the operation filter anyway)
     df = df.withColumns(
         {
-            "ip_address": F.element_at(toks, _IP_POS),
-            "operation": F.element_at(toks, _OP_POS),
-            "object_key_raw": F.element_at(toks, _KEY_POS),
+            "ip_address": F.try_element_at(toks, F.lit(_IP_POS)),
+            "operation": F.try_element_at(toks, F.lit(_OP_POS)),
+            "object_key_raw": F.try_element_at(toks, F.lit(_KEY_POS)),
         }
     )
 
@@ -127,7 +131,7 @@ def parse_and_filter_log_lines(
             else F.col("object_key_raw")
         ).alias("object_key"),
         F.when(F.col("_resolved.bytes_sent_raw") == "-", F.lit(0))
-        .otherwise(F.col("_resolved.bytes_sent_raw").cast("long"))
+        .otherwise(F.col("_resolved.bytes_sent_raw").try_cast("long"))
         .alias("bytes_sent"),
         F.col("_resolved.http_status_code").alias("http_status_code"),
         F.when(

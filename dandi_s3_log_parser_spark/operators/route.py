@@ -1,0 +1,84 @@
+"""Stage 2 — route (bin): fan reduced rows out per object key.
+
+The reference materializes one TSV file per blob id, path-sharded
+``blobs/<id[:3]>/<id[3:6]>/<id>.tsv`` / ``zarr/<id>.tsv``
+(``_bin_all_reduced_s3_logs_by_object_key.py:76-113``,
+``_map_binned_s3_logs_to_dandisets.py:156-164``).  In Spark the
+one-file-per-key layout is a *partitioned table*, not 250k tiny files:
+
+* the binned table is partitioned by ``key_parent`` (blobs/zarr) and a
+  3-hex ``key_shard`` (the reference's first path shard) — bounded
+  partition count, prunable by key prefix;
+* rows are clustered by ``object_key`` inside files via a salted
+  ``repartition`` + ``sortWithinPartitions``, so a per-key read touches
+  few row groups;
+* **skew**: hot keys (the reference's zarr keys average 150x the bytes
+  of blob keys, README.md:65) would funnel into one shuffle task if we
+  repartitioned by key alone — we salt the shuffle key with
+  ``pmod(xxhash64(timestamp, ip), salt_buckets)`` so a hot key spreads
+  over ``salt_buckets`` tasks/files while remaining colocated by
+  partition directory (the north rule's explicit salted-repartition
+  requirement).
+
+Column order inside the binned table matches the reference golden:
+``timestamp, bytes_sent, ip_address``
+(``_bin_all_reduced_s3_logs_by_object_key.py:86``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_parent(key_col: str = "object_key") -> F.Column:
+    return F.element_at(F.split(F.col(key_col), "/"), 1)
+
+
+def key_shard(key_col: str = "object_key") -> F.Column:
+    """First 3-hex shard of the blob id (``blobs/<s1>/...`` path part);
+    zarr keys get the first 3 chars of the zarr id."""
+    return F.when(
+        key_parent(key_col) == "blobs",
+        F.element_at(F.split(F.col(key_col), "/"), 2),
+    ).otherwise(F.substring(F.element_at(F.split(F.col(key_col), "/"), 2), 1, 3))
+
+
+def route_binned(
+    reduced: DataFrame,
+    *,
+    salt_buckets: int = 8,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Reduced rows -> binned layout, salted against hot-key skew.
+
+    Returns a DataFrame ready to be written with
+    ``partition_by=("key_parent", "key_shard")``.
+    """
+    df = reduced.withColumns(
+        {
+            "key_parent": key_parent(),
+            "key_shard": key_shard(),
+            "_salt": F.pmod(
+                F.xxhash64(F.col("timestamp"), F.col("ip_address")), F.lit(salt_buckets)
+            ),
+        }
+    )
+    n = shuffle_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n, "key_parent", "key_shard", "_salt")
+    df = df.sortWithinPartitions("object_key", "timestamp")
+    return df.select(
+        "timestamp", "bytes_sent", "ip_address", "object_key", "key_parent", "key_shard"
+    )
+
+
+def binned_rows_for_key(binned: DataFrame, object_key: str) -> DataFrame:
+    """Read the routed rows of one key — partition-pruned by
+    (key_parent, key_shard) before the key equality filter."""
+    parent = object_key.split("/")[0]
+    shard = object_key.split("/")[1] if parent == "blobs" else object_key.split("/")[1][:3]
+    return binned.filter(
+        (F.col("key_parent") == parent)
+        & (F.col("key_shard") == shard)
+        & (F.col("object_key") == object_key)
+    ).select("timestamp", "bytes_sent", "ip_address")

@@ -1,0 +1,92 @@
+"""Table catalog: partitioned, atomically-committed tables.
+
+Scale design: the production format is **Apache Iceberg** — the
+reference's directory-tree bookkeeping (`raw_logs/YYYY/MM/DD.log`,
+started/completed two-phase text files,
+``_bin_all_reduced_s3_logs_by_object_key.py:30-54``) maps to Iceberg
+partition specs + atomic snapshot commits.  The Iceberg runtime jar is
+not available in this sandbox, so the catalog transparently falls back
+to Hive-partitioned Parquet with **dynamic partition overwrite**, which
+preserves the two properties the pipeline relies on:
+
+* partition pruning on read (day / key-prefix filters hit the file
+  listing, not the data);
+* idempotent per-partition re-commit for checkpointed resume (a re-run
+  of a partition replaces exactly that partition).
+
+On a real cluster, set ``iceberg_catalog`` to a configured catalog name
+and the same API writes `catalog.db.table` identifiers instead.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path,
+        iceberg_catalog: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.iceberg_catalog = iceberg_catalog
+        if iceberg_catalog is None:
+            # dynamic overwrite: INSERT OVERWRITE replaces only touched partitions
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- paths / existence ---------------------------------------------------
+
+    def path(self, name: str) -> str:
+        return str(self.root / name)
+
+    def exists(self, name: str) -> bool:
+        if self.iceberg_catalog:
+            return self.spark.catalog.tableExists(self._ident(name))
+        p = Path(self.path(name))
+        return p.exists() and any(p.rglob("*.parquet"))
+
+    def _ident(self, name: str) -> str:
+        return f"{self.iceberg_catalog}.db.{name}"
+
+    # -- read / write ---------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg_catalog:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.read.parquet(self.path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        *,
+        partition_by: tuple[str, ...] = (),
+        mode: str = "overwrite",
+    ) -> None:
+        """``mode='overwrite'`` with partition columns does a *dynamic*
+        overwrite (only the partitions present in ``df`` are replaced) —
+        the parquet analog of an Iceberg ``overwritePartitions`` commit."""
+        if self.iceberg_catalog:
+            writer = df.writeTo(self._ident(name))
+            if mode == "append" and self.exists(name):
+                writer.append()
+            else:
+                writer.using("iceberg").createOrReplace()
+            return
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+
+    def drop(self, name: str) -> None:
+        if self.iceberg_catalog:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
+            return
+        shutil.rmtree(self.path(name), ignore_errors=True)
