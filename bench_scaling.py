@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence: same job, same input, N vs 4N cores.
+
+The north rule's two-cluster-size criterion (N vs 4N executors,
+throughput scaling efficiency >= 0.8) cannot use a real cluster in this
+sandbox; per the driver protocol we run the identical end-to-end
+pipeline at two local parallelism levels (local[8] vs local[32]) on the
+same cached input and report docs/sec at both plus efficiency
+  eff = (docs_per_sec_4N / docs_per_sec_N) / 4.
+
+Each level runs in a fresh subprocess (one JVM per measurement; no
+warm-cache bleed between levels beyond the shared OS page cache, which
+both levels benefit from equally after the warm-up pass).
+
+Usage: python bench_scaling.py [--pages 400000]
+       (internal) python bench_scaling.py --worker-cpus K --pages N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REPO = Path(__file__).resolve().parent
+
+
+def run_worker(cpus: int, n_pages: int) -> dict:
+    from bench import _ensure_bench_pages
+    from dandi_s3_log_parser_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from dandi_s3_log_parser_spark.session import get_spark
+    from dandi_s3_log_parser_spark.sources.tables import Catalog
+    import shutil
+
+    spark = get_spark(f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    pages, dims = _ensure_bench_pages(spark, n_pages)
+    # warm-up pass: JIT + page cache, identical for both levels
+    pages.count()
+    wh = REPO / "_work" / f"scale_wh_{cpus}"
+    shutil.rmtree(wh, ignore_errors=True)
+    catalog = Catalog(spark, wh)
+    t0 = time.perf_counter()
+    run_pipeline(spark, catalog, pages, dims, PipelineConfig(), f"scale-{cpus}", resume=False)
+    dt = time.perf_counter() - t0
+    return {"cpus": cpus, "sec": round(dt, 3), "docs_per_sec": round(n_pages / dt, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=400_000)
+    ap.add_argument("--worker-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.worker_cpus:
+        print("WORKER_RESULT " + json.dumps(run_worker(args.worker_cpus, args.pages)))
+        return
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker-cpus", str(cpus), "--pages", str(args.pages)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=1800,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+        if not line:
+            sys.stderr.write(out.stdout[-3000:] + out.stderr[-3000:])
+            raise SystemExit(f"worker local[{cpus}] failed")
+        results[cpus] = json.loads(line[-1].removeprefix("WORKER_RESULT "))
+
+    n, n4 = results[8], results[32]
+    eff = (n4["docs_per_sec"] / n["docs_per_sec"]) / 4.0
+    summary = {
+        "pages": args.pages,
+        "local[8]": n,
+        "local[32]": n4,
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+        "meets_north_rule_0.8": eff >= 0.8,
+    }
+    print(json.dumps(summary, indent=2))
+    (REPO / "_work" / "scaling_result.json").write_text(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

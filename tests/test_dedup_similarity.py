@@ -1,0 +1,101 @@
+"""Semantics of the dedup / similarity operators on handcrafted data."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dandi_s3_log_parser_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from dandi_s3_log_parser_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find food and water for the long winter"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact duplicate of 0
+        (2, BASE.replace("winter", "summer")),        # near duplicate
+        (3, "completely different text about spark dataframes and shuffles"),
+        (4, "another unrelated document mentioning benchmarks and parquet files"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0 and 1 collapse to keeper 0
+    assert 1 not in out
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_simhash_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dup_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 10
+    assert (3, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(vectors, queries, k=3).collect()
+    assert [r["neighbor_id"] for r in got][:2] == [0, 1]  # self then near-dup
+    assert got[0]["cosine_sim"] == 1.0
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(vectors, queries, k=3).collect()
+    ann = lsh_bucketed_topk(vectors, queries, k=3, dim=16, n_planes=4).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    ann_top1 = {r["query_id"]: r["neighbor_id"] for r in ann if r["rank"] == 1}
+    # self-match always shares its own bucket -> top-1 recall is exact
+    assert ann_top1 == exact_top1
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(vectors, threshold=0.95).collect()}
+    assert (0, 1) in pairs
+    assert len(pairs) == 1
