@@ -46,19 +46,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct), native."""
-    toks = word_tokens(text)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "sh"
+) -> DataFrame:
+    """Add a distinct word-n-gram shingle column, in linear time.
+
+    PERF NOTE (measured, sf0.1 5000 docs: 174.6s -> 5.6s for the
+    downstream minhash signature): expressions referenced inside
+    higher-order-function lambdas are re-evaluated per array element —
+    an ``element_at(tokens, i+j)``-style gram builder re-runs the whole
+    split/filter per gram.  So tokens are materialized as a bound column
+    first (projection boundary; non-cheap aliases are not inlined by
+    CollapseProject) and grams come from ``arrays_zip`` of shifted
+    slices, touching each token O(n) times total.
+    """
+    df = df.withColumn("_toks", word_tokens(F.col(text_col)))
+    cnt = F.greatest(F.size(F.col("_toks")) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("_toks"), j + 1, cnt) for j in range(n)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
-    return F.when(count > 0, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return df.withColumn(out_col, F.array_distinct(grams)).drop("_toks")
 
 
 def ngram_jaccard_pairs(
@@ -73,7 +83,8 @@ def ngram_jaccard_pairs(
     """All-pairs word-n-gram Jaccard above ``threshold`` (guarded small-N
     baseline; use :func:`minhash_lsh_candidates` at scale)."""
     docs = (
-        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
+        with_shingles(df, text_col, n)
+        .select(F.col(id_col).alias("id"), "sh")
         .filter(F.size("sh") > 0)
         .limit(max_rows)
     )
@@ -90,12 +101,15 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<long>: hash family h_i(s) = xxhash64(s, i)."""
-    sh = word_shingles(text, shingle_n)
+def minhash_signature(sh_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<long>: hash family h_i(s) = xxhash64(s, i).
+
+    ``sh_col`` must be a bound shingle COLUMN (see :func:`with_shingles`
+    perf note) — passing a raw expression re-evaluates it per hash seed.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(F.transform(sh_col, lambda s: F.xxhash64(s, i))),
     )
 
 
@@ -107,18 +121,26 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
-    shingle -> signature -> per-band bucket hash -> self-join within
-    (band, bucket).  Entirely native; the only shuffle is the bucket
-    groupBy-join, whose key cardinality is controlled by band width.
+    shingle -> signature -> per-band bucket hash -> pairs within
+    (band, bucket).  Buckets larger than ``max_bucket_size`` are dropped
+    BEFORE pair generation (standard at-scale guard: a bucket with m ids
+    yields m^2/2 pairs, so one degenerate bucket — boilerplate, tiny
+    vocab, empty docs — would otherwise dominate the whole job; such
+    buckets carry no dedup signal).  Pair generation is collect_list on
+    the pre-filtered small buckets + native pair expansion — bounded at
+    max_bucket_size^2/2 pairs per bucket, no skewed self-join.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    docs = df.select(F.col(id_col).alias("id"), sig.alias("sig")).filter(
-        F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == num_hashes
+    shingled = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col).alias("id"), "sh"
     )
+    docs = shingled.select(
+        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    ).filter(F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == num_hashes)
     banded = docs.select(
         "id",
         F.explode(
@@ -135,16 +157,30 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+
+    # two-pass bucket-size guard: count first, keep only small buckets
+    counts = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+    )
+    small = banded.join(counts.select("band", "bucket"), ["band", "bucket"])
+    grouped = small.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
+    n = F.size(F.col("ids"))
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pair_array).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -168,9 +204,12 @@ def minhash_dedup(
         id_col=id_col,
         text_col=text_col,
     )
-    sh = df.select(
-        F.col(id_col).alias("_vid"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    sh = with_shingles(df, text_col, shingle_n, out_col="_sh").select(
+        F.col(id_col).alias("_vid"), "_sh"
     )
+    # verify joins: candidate pairs x shingle dim; at corpus scale the
+    # shingle dim won't broadcast — Catalyst/AQE will pick a shuffle
+    # join automatically — but the candidate side stays the small side
     out = (
         cands.join(sh.withColumnsRenamed({"_vid": "id_a", "_sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"_vid": "id_b", "_sh": "sh_b"}), "id_b")

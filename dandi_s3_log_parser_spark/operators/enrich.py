@@ -106,6 +106,26 @@ def build_ip_region_map(
     )
 
 
+def merge_region_cache(catalog, ip_map: DataFrame, table: str = "ip_region_cache") -> None:
+    """Persist newly-resolved (ip_hash -> region) pairs into the cache
+    table — the set-based MERGE replacing the reference's YAML cache
+    save (``_ip_utils.py:211-221``).  On Iceberg this is a real MERGE
+    INTO; the parquet fallback rewrites the (small) cache table."""
+    new = ip_map.select("ip_hash", "region").filter(F.col("region") != "unknown")
+    if catalog.exists(table):
+        existing = catalog.read(table)
+        merged = existing.unionByName(
+            new.join(existing.select("ip_hash"), "ip_hash", "left_anti")
+        )
+    else:
+        merged = new
+    # materialize before overwrite (the cache table is an input of the
+    # plan, and it is small by construction: distinct ip hashes)
+    rows = merged.collect()
+    out = catalog.spark.createDataFrame(rows, merged.schema)
+    catalog.write(out, table, mode="overwrite")
+
+
 def enrich_with_region(
     facts: DataFrame,
     ip_region_cache: DataFrame,

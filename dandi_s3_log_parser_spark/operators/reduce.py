@@ -21,7 +21,7 @@ timezone-free timestamps (header literal ``_s3_log_file_reducer.py:150``).
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Callable, Iterable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -65,6 +65,19 @@ def truncate_zarr_key(key: Column) -> Column:
     ).otherwise(key)
 
 
+def _resolve_key_handler(
+    truncate_zarr: bool, key_handler: Callable[[Column], Column] | None
+) -> Callable[[Column], Column]:
+    """Pluggable object-key handler (reference's ``object_key_handler``
+    hook, ``_s3_log_file_reducer.py:30,63-87``): a Column->Column
+    function; default is the DANDI zarr truncation, identity otherwise."""
+    if key_handler is not None:
+        return key_handler
+    if truncate_zarr:
+        return truncate_zarr_key
+    return lambda c: c
+
+
 def parse_and_filter_log_lines(
     df: DataFrame,
     line_col: str = "value",
@@ -73,6 +86,7 @@ def parse_and_filter_log_lines(
     excluded_ips: Iterable[str] | DataFrame | None = None,
     key_parents: Iterable[str] | None = DEFAULT_KEY_PARENTS,
     truncate_zarr: bool = True,
+    key_handler: Callable[[Column], Column] | None = None,
     passthrough: Iterable[str] = (),
 ) -> DataFrame:
     """Parse + filter raw log lines; returns typed rows with ``parse_status``.
@@ -125,10 +139,8 @@ def parse_and_filter_log_lines(
         *passthrough,
         header_timestamp(line).alias("timestamp"),
         F.col("ip_address"),
-        (
-            truncate_zarr_key(F.col("object_key_raw"))
-            if truncate_zarr
-            else F.col("object_key_raw")
+        _resolve_key_handler(truncate_zarr, key_handler)(
+            F.col("object_key_raw")
         ).alias("object_key"),
         F.when(F.col("_resolved.bytes_sent_raw") == "-", F.lit(0))
         .otherwise(F.col("_resolved.bytes_sent_raw").try_cast("long"))

@@ -26,7 +26,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_KEY_PARENTS, DEFAULT_OPERATION_TYPE, TEST_IP_HASH_SALT
+from ..config import (
+    DEFAULT_KEY_PARENTS,
+    DEFAULT_OPERATION_TYPE,
+    OK_STATUSES,
+    TEST_IP_HASH_SALT,
+)
 from ..functions.text import with_header_and_text
 from ..operators.aggregate import (
     dandiset_summaries,
@@ -35,7 +40,7 @@ from ..operators.aggregate import (
     version_summaries,
 )
 from ..operators.enrich import enrich_with_region
-from ..operators.reduce import parse_and_filter_log_lines, split_reduced
+from ..operators.reduce import parse_and_filter_log_lines
 from ..operators.route import route_binned
 from ..sources.tables import Catalog
 from .lineage import LineageLog
@@ -55,6 +60,24 @@ class PipelineConfig:
 def _day_counts(df: DataFrame, day_col: str) -> dict[str, int]:
     rows = df.groupBy(day_col).count().collect()
     return {str(r[day_col]): r["count"] for r in rows}
+
+
+def read_reduced(catalog: Catalog) -> DataFrame:
+    """Kept reduced rows (partition-pruned on rclass='ok')."""
+    return catalog.read("reduced").filter(F.col("rclass") == "ok").drop("rclass")
+
+
+def read_reduce_errors(catalog: Catalog) -> DataFrame:
+    """Error side-channel rows from the reduce stage."""
+    return (
+        catalog.read("reduced")
+        .filter(F.col("rclass") == "error")
+        .select(
+            F.lit("reduce").alias("stage"),
+            F.col("parse_status").alias("error_type"),
+            F.col("url").alias("message"),
+        )
+    )
 
 
 def run_reduce_stage(
@@ -90,30 +113,39 @@ def run_reduce_stage(
         truncate_zarr=cfg.truncate_zarr,
         passthrough=("url", day),
     )
-    kept, errors = split_reduced(parsed)
-    reduced = kept.select(
-        "timestamp", "ip_address", "object_key", "bytes_sent", "url", day
+    # ONE scan, ONE write: ok rows and error rows land in the same
+    # day-partitioned table under an `rclass` partition column (writing
+    # kept and errors as two separate actions would re-run the whole
+    # parse — 2x the scan at 100 TB).  Downstream reads partition-prune
+    # on rclass='ok'; the error side-channel is the rclass='error' slice
+    # (replaces the reference's per-process error files,
+    # _error_collection.py:7-40).  Well-formed-but-rejected rows
+    # (drop_*) are filtered out entirely, matching the bad-lines golden
+    # semantics.
+    out = (
+        parsed.filter(
+            F.col("parse_status").isin(*OK_STATUSES)
+            | F.col("parse_status").startswith("error_")
+        )
+        .withColumn(
+            "rclass",
+            F.when(F.col("parse_status").startswith("error_"), "error").otherwise("ok"),
+        )
+        .select(
+            "timestamp",
+            "ip_address",
+            "object_key",
+            "bytes_sent",
+            "url",
+            "parse_status",
+            day,
+            "rclass",
+        )
     )
-    catalog.write(reduced, "reduced", partition_by=(day,), mode="overwrite")
-
-    err_out = errors.select(
-        F.lit("reduce").alias("stage"),
-        F.col("parse_status").alias("error_type"),
-        F.lit(run_id).alias("task_id"),
-        F.col("url").alias("message"),
-        F.col(day).alias(day),
-    )
-    catalog.write(
-        err_out,
-        "errors",
-        partition_by=(day,),
-        mode="overwrite" if not catalog.exists("errors") else "append",
-    )
+    catalog.write(out, "reduced", partition_by=(day, "rclass"), mode="overwrite")
 
     rows_in = _day_counts(batch, day)
-    rows_out = _day_counts(
-        catalog.read("reduced").filter(F.col(day).isin(days)), day
-    )
+    rows_out = _day_counts(read_reduced(catalog).filter(F.col(day).isin(days)), day)
     lineage.record(
         run_id,
         "reduce",
@@ -142,7 +174,7 @@ def run_bin_stage(
     days = lineage.pending("bin", reduce_done) if resume else reduce_done
     if not days:
         return []
-    reduced = catalog.read("reduced").filter(F.col(day).isin(days))
+    reduced = read_reduced(catalog).filter(F.col(day).isin(days))
     binned = route_binned(reduced, salt_buckets=cfg.salt_buckets)
     binned = binned.withColumn(day, F.date_format("timestamp", "yyyy-MM-dd"))
     catalog.write(

@@ -80,8 +80,10 @@ def pipeline_run(spark, tmp_path_factory):
 
 def test_reduced_matches_oracle(spark, pipeline_run):
     tables, catalog, _ = pipeline_run
+    from dandi_s3_log_parser_spark.plans.pipeline import read_reduced
+
     got = (
-        catalog.read("reduced")
+        read_reduced(catalog)
         .toPandas()
         .assign(timestamp=lambda d: d["timestamp"].dt.strftime("%Y-%m-%dT%H:%M:%S"))
         [["timestamp", "ip_address", "object_key", "bytes_sent"]]
@@ -115,7 +117,9 @@ def test_binned_routed_row_sets(spark, pipeline_run):
     (the reference binning invariant, SURVEY §2.1 S5)."""
     tables, catalog, _ = pipeline_run
     binned = catalog.read("binned").toPandas()
-    reduced = catalog.read("reduced").toPandas()
+    from dandi_s3_log_parser_spark.plans.pipeline import read_reduced
+
+    reduced = read_reduced(catalog).toPandas()
     for key, grp in reduced.groupby("object_key"):
         routed = binned[binned["object_key"] == key]
         left = routed[["timestamp", "bytes_sent", "ip_address"]].sort_values(
