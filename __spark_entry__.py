@@ -467,18 +467,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "null_sentinel_cast": """
             SELECT l_returnflag,
-                   sum(CASE WHEN l_returnflag = 'N' THEN 0
-                            ELSE CAST(floor(l_quantity) AS BIGINT) END) AS bytes_sum
+                   CAST(sum(CASE WHEN l_returnflag = 'N' THEN 0
+                            ELSE CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT) AS bytes_sum
             FROM lineitem GROUP BY l_returnflag
         """,
         "by_day_agg": """
             SELECT strftime(ts, '%Y-%m-%d') AS date,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1
         """,
         "by_region_agg": """
             SELECT r_name,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -487,7 +487,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "range_join": """
             SELECT b.bucket, count(*) AS n,
-                   sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events e
             JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'),
                          (100.0, 1000000000.0, 'high')) AS b(lo, hi, bucket)
@@ -526,7 +526,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_agg": """
             SELECT r_name, n_name,
-                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -539,7 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS hour_start,
                    count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1
         """,
         "dedup_exact": """
