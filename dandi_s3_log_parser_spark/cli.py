@@ -1,0 +1,141 @@
+"""Command-line entry points for the pipeline, shippable via spark-submit.
+
+The reference exposes three console scripts (``pyproject.toml:39-42``):
+``reduce_all_dandi_raw_s3_logs`` / ``bin_all_reduced_s3_logs_by_object_key``
+/ ``map_binned_s3_logs_to_dandisets``.  This CLI exposes the same three
+stages plus ``all`` and a ``datagen`` helper, as one argparse command
+that runs identically under ``python -m dandi_s3_log_parser_spark`` (local
+dev) and ``spark-submit --py-files dandi_s3_log_parser_spark.zip
+jobs/pipeline_job.py`` (cluster; the north rule's packaging requirement).
+
+Under spark-submit the session is created WITHOUT a hard-coded master so
+``--master``/cluster deploy settings win; ``--local-cores`` forces
+``local[k]`` for dev runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def _build_session(args) -> SparkSession:
+    from .session import get_spark
+
+    master = f"local[{args.local_cores}]" if args.local_cores else None
+    return get_spark("dandi-s3-log-parser-spark", master=master)
+
+
+def _load_dims(spark: SparkSession, dims_dir: str) -> dict:
+    names = ("assets", "cidr_ranges", "ip_region_cache", "geo_fallback", "excluded_ips")
+    return {n: spark.read.parquet(f"{dims_dir}/{n}") for n in names}
+
+
+def cmd_datagen(args) -> int:
+    from .datagen import generate, to_spark
+
+    spark = _build_session(args)
+    tables = generate(args.pages, seed=args.seed)
+    pages, dims = to_spark(spark, tables)
+    pages.repartition(max(spark.sparkContext.defaultParallelism, 1)).write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/pages")
+    for name, df in dims.items():
+        df.write.mode("overwrite").parquet(f"{args.out}/dims/{name}")
+    print(f"datagen: wrote {args.pages} pages + dims under {args.out}")
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    from .plans.lineage import LineageLog
+    from .plans.pipeline import (
+        PipelineConfig,
+        run_bin_stage,
+        run_map_stage,
+        run_pipeline,
+        run_reduce_stage,
+    )
+    from .sources.tables import Catalog
+
+    spark = _build_session(args)
+    catalog = Catalog(spark, args.warehouse, iceberg_catalog=args.iceberg_catalog)
+    cfg = PipelineConfig(salt_buckets=args.salt_buckets)
+    run_id = args.run_id or f"run-{int(time.time())}"
+    pages = spark.read.parquet(args.pages) if args.pages else None
+    dims = _load_dims(spark, args.dims)
+
+    t0 = time.perf_counter()
+    if args.stage == "all":
+        run_pipeline(spark, catalog, pages, dims, cfg, run_id, resume=not args.no_resume)
+    else:
+        lineage = LineageLog(catalog)
+        if args.stage == "reduce":
+            run_reduce_stage(
+                spark, catalog, pages, cfg, lineage, run_id,
+                excluded_ips=dims.get("excluded_ips"), resume=not args.no_resume,
+            )
+        elif args.stage == "bin":
+            run_bin_stage(spark, catalog, cfg, lineage, run_id, resume=not args.no_resume)
+        elif args.stage == "map":
+            run_map_stage(
+                spark, catalog, cfg, lineage, run_id,
+                assets=dims["assets"], ip_region_cache=dims["ip_region_cache"],
+                cidr_ranges=dims["cidr_ranges"], geo_fallback=dims["geo_fallback"],
+            )
+    dt = time.perf_counter() - t0
+    print(f"pipeline stage={args.stage} run_id={run_id} completed in {dt:.1f}s")
+    return 0
+
+
+def cmd_lineage(args) -> int:
+    from .plans.lineage import LineageLog
+    from .sources.tables import Catalog
+
+    spark = _build_session(args)
+    catalog = Catalog(spark, args.warehouse, iceberg_catalog=args.iceberg_catalog)
+    LineageLog(catalog).read().orderBy("stage", "input_partition").show(
+        200, truncate=False
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dandi_s3_log_parser_spark")
+    p.add_argument("--local-cores", type=int, default=None,
+                   help="force local[k] master (omit under spark-submit)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("datagen", help="write synthetic pages + dimension tables")
+    g.add_argument("--out", required=True)
+    g.add_argument("--pages", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_datagen)
+
+    r = sub.add_parser("pipeline", help="run reduce/bin/map stages")
+    r.add_argument("--stage", choices=("all", "reduce", "bin", "map"), default="all")
+    r.add_argument("--pages", help="pages table path (required for reduce/all)")
+    r.add_argument("--dims", required=True, help="directory of dimension tables")
+    r.add_argument("--warehouse", required=True)
+    r.add_argument("--iceberg-catalog", default=None)
+    r.add_argument("--salt-buckets", type=int, default=8)
+    r.add_argument("--run-id", default=None)
+    r.add_argument("--no-resume", action="store_true")
+    r.set_defaults(fn=cmd_pipeline)
+
+    li = sub.add_parser("lineage", help="show the lineage/checkpoint table")
+    li.add_argument("--warehouse", required=True)
+    li.add_argument("--iceberg-catalog", default=None)
+    li.set_defaults(fn=cmd_lineage)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,12 +22,20 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str = "48g",
     extra_conf: dict[str, str] | None = None,
+    master: str | None = "auto",
 ) -> SparkSession:
+    """``master='auto'`` (default) runs ``local[$SPARK_GRAFT_CPUS]``;
+    ``master=None`` leaves the master unset so ``spark-submit --master``
+    / cluster deploy config wins (the --py-files shipping path)."""
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = SparkSession.builder
+    if master == "auto":
+        builder = builder.master(f"local[{cpus}]")
+    elif master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -11,6 +11,10 @@ REFERENCE = Path("/root/reference")
 TESTDATA = Path("/root/testdata")
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end test")
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("tests", cpus=8, shuffle_partitions=8, driver_memory="16g")

@@ -1,0 +1,63 @@
+"""Packaging contract: the pipeline ships as spark-submit --py-files.
+
+north_rule: "run via spark-submit --py-files on a multi-executor
+cluster" — evidenced here with a local[4] master, the package arriving
+on the (thread) executors exclusively via the zip.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pyspark
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+SPARK_SUBMIT = Path(pyspark.__path__[0]) / "bin" / "spark-submit"
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    sys.path.insert(0, str(REPO))
+    from scripts.build_pyfiles_zip import build
+
+    zip_path = build(tmp_path / "dandi_s3_log_parser_spark.zip")
+    assert zip_path.exists() and zip_path.stat().st_size > 10_000
+
+    # datagen + pipeline both through the submitted job; cwd is tmp_path
+    # so the repo's package dir cannot leak in via sys.path[0].
+    env = dict(os.environ, PYTHONPATH="", SPARK_GRAFT_CPUS="4")
+    data, wh = tmp_path / "data", tmp_path / "wh"
+    base = [
+        str(SPARK_SUBMIT),
+        "--master", "local[4]",
+        "--py-files", str(zip_path),
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        str(REPO / "jobs" / "pipeline_job.py"),
+    ]
+    r1 = subprocess.run(
+        base + ["datagen", "--out", str(data), "--pages", "400", "--seed", "7"],
+        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stdout[-2000:] + r1.stderr[-2000:]
+    r2 = subprocess.run(
+        base + [
+            "pipeline", "--stage", "all",
+            "--pages", str(data / "pages"),
+            "--dims", str(data / "dims"),
+            "--warehouse", str(wh),
+        ],
+        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
+    # outputs exist and are non-trivial
+    for table in ("reduced", "binned", "mapped_per_asset",
+                  "dandiset_summary_by_day", "lineage"):
+        assert any((wh / table).rglob("*.parquet")), table
+
+    shutil.rmtree(tmp_path / "data", ignore_errors=True)
