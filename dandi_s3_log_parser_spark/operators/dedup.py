@@ -138,9 +138,13 @@ def minhash_lsh_candidates(
     shingled = with_shingles(df, text_col, shingle_n).select(
         F.col(id_col).alias("id"), "sh"
     )
-    docs = shingled.select(
+    # validity = non-empty shingle set, checked BEFORE the signature: a
+    # filter on the signature itself would be pushed through the
+    # projection by Catalyst and re-evaluate the whole minhash subtree
+    # (measured 2x on this stage)
+    docs = shingled.filter(F.size("sh") > 0).select(
         "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
-    ).filter(F.size(F.filter(F.col("sig"), lambda x: x.isNotNull())) == num_hashes)
+    )
     banded = docs.select(
         "id",
         F.explode(
@@ -158,13 +162,17 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    # two-pass bucket-size guard: count first, keep only small buckets
-    counts = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+    # bucket-size guard via a window count over (band, bucket): a
+    # count-then-join formulation would reference `banded` twice and
+    # re-evaluate the shingle+signature subtree on both sides (measured
+    # 25s -> ~6s on sf0.1).  The window shuffles once on (band, bucket)
+    # and the following groupBy on the same keys reuses that exchange.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    small = banded.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)
     )
-    small = banded.join(counts.select("band", "bucket"), ["band", "bucket"])
     grouped = small.groupBy("band", "bucket").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )
