@@ -122,6 +122,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 64,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -135,14 +136,15 @@ def minhash_lsh_candidates(
     max_bucket_size^2/2 pairs per bucket, no skewed self-join.
     """
     rows_per_band = num_hashes // bands
-    shingled = with_shingles(df, text_col, shingle_n).select(
-        F.col(id_col).alias("id"), "sh"
-    )
+    if shingled is None:
+        shingled = with_shingles(df, text_col, shingle_n).select(
+            F.col(id_col).alias("id"), "sh"
+        ).filter(F.size("sh") > 0)
     # validity = non-empty shingle set, checked BEFORE the signature: a
     # filter on the signature itself would be pushed through the
     # projection by Catalyst and re-evaluate the whole minhash subtree
     # (measured 2x on this stage)
-    docs = shingled.filter(F.size("sh") > 0).select(
+    docs = shingled.select(
         "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
     )
     banded = docs.select(
@@ -203,7 +205,23 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """LSH candidates verified by exact shingle Jaccard >= threshold."""
+    """LSH candidates verified by exact shingle Jaccard >= threshold.
+
+    The shingle set is computed ONCE behind a forced repartition: the
+    signature path and both verify sides then consume the same exchange
+    (Catalyst ReuseExchange — one shuffle write, three reads) instead of
+    re-running the tokenize/shingle subtree three times.  Cache-free, so
+    nothing leaks past the query and the plan scales to corpora where a
+    persisted shingle set would not fit (at real corpus scale you would
+    materialize shingles to a table instead).
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        with_shingles(df, text_col, shingle_n)
+        .select(F.col(id_col).alias("id"), "sh")
+        .filter(F.size("sh") > 0)
+        .repartition(n_part, "id")
+    )
     cands = minhash_lsh_candidates(
         df,
         num_hashes=num_hashes,
@@ -211,16 +229,14 @@ def minhash_dedup(
         shingle_n=shingle_n,
         id_col=id_col,
         text_col=text_col,
-    )
-    sh = with_shingles(df, text_col, shingle_n, out_col="_sh").select(
-        F.col(id_col).alias("_vid"), "_sh"
+        shingled=sh,
     )
     # verify joins: candidate pairs x shingle dim; at corpus scale the
     # shingle dim won't broadcast — Catalyst/AQE will pick a shuffle
     # join automatically — but the candidate side stays the small side
     out = (
-        cands.join(sh.withColumnsRenamed({"_vid": "id_a", "_sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"_vid": "id_b", "_sh": "sh_b"}), "id_b")
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.round(
