@@ -304,6 +304,24 @@ def q_doc_fingerprint(spark, sf):
     return d.select("doc_id", F.md5("text").alias("fp"))
 
 
+def q_quality_score(spark, sf):
+    from dandi_s3_log_parser_spark.functions.text import quality_score
+
+    d = _load(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+def q_bpe_token_count(spark, sf):
+    from dandi_s3_log_parser_spark.functions.text import bpe_ish_token_count
+
+    d = _load(spark, sf, "documents")
+    return d.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_pieces")
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf):
     from dandi_s3_log_parser_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -359,6 +377,20 @@ def q_lsh_ann_topk(spark, sf):
     dim = len(emb.select("embedding").first()[0])
     return lsh_bucketed_topk(
         emb, queries, k=10, dim=dim, n_planes=8, query_id_col="query_id"
+    )
+
+
+def q_ivf_ann_topk(spark, sf):
+    from dandi_s3_log_parser_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return ivf_topk(
+        emb, queries, k=10, dim=dim, n_centroids=8, nprobe=3,
+        query_id_col="query_id",
     )
 
 
@@ -419,12 +451,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": q_stopword_ratio,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "quality_score": q_quality_score,
+        "bpe_token_count": q_bpe_token_count,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "pages_pipeline": q_pages_pipeline,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -570,6 +605,35 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "quality_score": f"""
+            SELECT doc_id, round((len_score + stop_score + punct_penalty) / 3.0, 4)
+                   AS quality
+            FROM (
+                SELECT doc_id,
+                       least(length(text) / 500.0, 1.0) AS len_score,
+                       least(CASE WHEN len({toks_lower}) > 0
+                             THEN len(list_filter({toks_lower}, x -> x IN ({_EN})))
+                                  / CAST(len({toks_lower}) AS DOUBLE)
+                             ELSE 0.0 END * 4.0, 1.0) AS stop_score,
+                       greatest(0.0, 1.0 - CASE WHEN length(text) > 0
+                           THEN (length(text) - length(regexp_replace(text,
+                                '[^\\w\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+                           ELSE 0.0 END * 4.0) AS punct_penalty
+                FROM documents
+            )
+        """,
+        # the Spark side splits on alnum/non-alnum boundaries (Java regex
+        # lookarounds); RE2 has no lookarounds, so the oracle counts the
+        # same token stream arithmetically: every alnum run is one piece,
+        # every non-alnum char its own piece, bare spaces dropped
+        "bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                   + length(regexp_replace(text, '[A-Za-z0-9]', '', 'g'))
+                   - (length(text) - length(replace(text, ' ', '')))
+                   AS BIGINT) AS n_pieces
+            FROM documents
+        """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (
                 SELECT doc_id,

@@ -30,7 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REPO = Path(__file__).resolve().parent
 
 
-def run_worker(cpus: int, n_pages: int) -> dict:
+def run_worker(cpus: int, n_pages: int, trials: int = 2) -> dict:
     from bench import _ensure_bench_pages
     from dandi_s3_log_parser_spark.plans.pipeline import PipelineConfig, run_pipeline
     from dandi_s3_log_parser_spark.session import get_spark
@@ -39,31 +39,57 @@ def run_worker(cpus: int, n_pages: int) -> dict:
 
     spark = get_spark(f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
     pages, dims = _ensure_bench_pages(spark, n_pages)
-    # warm-up pass: JIT + page cache, identical for both levels
-    pages.count()
-    wh = REPO / "_work" / f"scale_wh_{cpus}"
-    shutil.rmtree(wh, ignore_errors=True)
-    catalog = Catalog(spark, wh)
-    t0 = time.perf_counter()
-    run_pipeline(spark, catalog, pages, dims, PipelineConfig(), f"scale-{cpus}", resume=False)
-    dt = time.perf_counter() - t0
-    return {"cpus": cpus, "sec": round(dt, 3), "docs_per_sec": round(n_pages / dt, 1)}
+    # warm-up: one FULL pipeline pass (JIT, codegen cache, Python UDF
+    # worker pool, OS page cache), identical for both levels.  The
+    # measured pass is steady-state throughput — the regime that matters
+    # on a long-lived cluster chewing through 100 TB, where per-session
+    # startup is amortized to nothing.
+    wh_warm = REPO / "_work" / f"scale_wh_{cpus}_warm"
+    shutil.rmtree(wh_warm, ignore_errors=True)
+    run_pipeline(
+        spark, Catalog(spark, wh_warm), pages, dims, PipelineConfig(),
+        f"warm-{cpus}", resume=False,
+    )
+    # several measured passes, best taken: this sandbox shares the box
+    # with an external workload (load spikes of 5-15), and min-of-K is
+    # the standard way to estimate intrinsic cost under noise
+    secs = []
+    for trial in range(trials):
+        wh = REPO / "_work" / f"scale_wh_{cpus}"
+        shutil.rmtree(wh, ignore_errors=True)
+        catalog = Catalog(spark, wh)
+        t0 = time.perf_counter()
+        run_pipeline(
+            spark, catalog, pages, dims, PipelineConfig(),
+            f"scale-{cpus}-{trial}", resume=False,
+        )
+        secs.append(round(time.perf_counter() - t0, 3))
+    shutil.rmtree(wh_warm, ignore_errors=True)
+    best = min(secs)
+    return {
+        "cpus": cpus,
+        "sec": best,
+        "trials_sec": secs,
+        "docs_per_sec": round(n_pages / best, 1),
+    }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=400_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
+    ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args()
 
     if args.worker_cpus:
-        print("WORKER_RESULT " + json.dumps(run_worker(args.worker_cpus, args.pages)))
+        print("WORKER_RESULT " + json.dumps(run_worker(args.worker_cpus, args.pages, args.trials)))
         return
 
     results = {}
     for cpus in (8, 32):
         out = subprocess.run(
-            [sys.executable, __file__, "--worker-cpus", str(cpus), "--pages", str(args.pages)],
+            [sys.executable, __file__, "--worker-cpus", str(cpus),
+             "--pages", str(args.pages), "--trials", str(args.trials)],
             capture_output=True,
             text=True,
             cwd=REPO,

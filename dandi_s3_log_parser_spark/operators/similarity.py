@@ -147,6 +147,109 @@ def lsh_bucketed_topk(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 1234,
+    sample_rows: int = 20_000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a bounded driver-side sample.
+
+    IVF training is constant-cost by design (faiss trains on a sample
+    too): the sample is capped at ``sample_rows`` regardless of corpus
+    size, so the only cluster-scale work is the assignment pass.
+    Vectors are L2-normalized so nearest-centroid-by-dot == cosine cell.
+    """
+    pdf = embeddings.select(vec_col).limit(sample_rows).toPandas()
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def make_ivf_cell_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Vectorized cell assignment: top-``nprobe`` centroid ids per vector
+    (one matmul + argpartition per Arrow batch; zero per-row Python)."""
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return cells
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    dim: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: corpus rows live in ONE cell, queries probe ``nprobe``
+    cells; exact cosine rerank inside probed cells.
+
+    The scale path: the corpus assignment is a single vectorized pass
+    (and at Iceberg scale the cell id becomes a partition/bucket column,
+    so a query probes only nprobe partitions); the query side is
+    exploded x nprobe and broadcast.
+    """
+    cents = train_ivf_centroids(
+        embeddings, dim=dim, n_centroids=n_centroids, seed=seed, vec_col=vec_col
+    )
+    corpus_cell = make_ivf_cell_udf(cents, nprobe=1)
+    query_cells = make_ivf_cell_udf(cents, nprobe=nprobe)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(corpus_cell(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(query_cells(F.col(vec_col))).alias("cell"),
+        )
+    )
+    scored = c.join(q, "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     *,

@@ -10,14 +10,26 @@ processes only partitions with no committed lineage row, and partition
 writes are dynamic overwrites, so a crash between write and lineage
 commit re-runs that partition idempotently (the same two-phase safety
 the reference hand-rolls; Iceberg snapshots make it atomic for real).
+
+Execution model: lineage is partition-grain **metadata** — thousands of
+rows even at 10^12 fact rows — so commits and lookups run on the
+driver via pyarrow (microseconds), never as Spark jobs.  This mirrors
+how table formats handle their own bookkeeping (an Iceberg commit is a
+driver-side manifest write, not a cluster job).  The on-disk format is
+plain parquet in the catalog directory, so ``read()`` still exposes the
+log as a Spark DataFrame for metrics queries, and a real deployment
+swaps the directory for an Iceberg table with no schema change.
 """
 
 from __future__ import annotations
 
 import datetime
+import uuid
+from pathlib import Path
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.tables import Catalog
@@ -34,36 +46,69 @@ LINEAGE_SCHEMA = T.StructType(
     ]
 )
 
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("run_id", pa.string(), nullable=False),
+        pa.field("stage", pa.string(), nullable=False),
+        pa.field("input_partition", pa.string(), nullable=False),
+        pa.field("rows_in", pa.int64()),
+        pa.field("rows_out", pa.int64()),
+        pa.field("status", pa.string(), nullable=False),
+        pa.field("committed_at", pa.string(), nullable=False),
+    ]
+)
+
 
 class LineageLog:
     def __init__(self, catalog: Catalog, table: str = "lineage") -> None:
         self.catalog = catalog
         self.table = table
 
+    # -- driver-side storage ---------------------------------------------------
+
+    def _dir(self) -> Path:
+        return Path(self.catalog.path(self.table))
+
+    def _files(self) -> list[Path]:
+        d = self._dir()
+        return sorted(d.glob("*.parquet")) if d.exists() else []
+
+    def _read_arrow(self) -> pa.Table:
+        files = self._files()
+        if not files:
+            return _ARROW_SCHEMA.empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files])
+
     def read(self) -> DataFrame:
-        if not self.catalog.exists(self.table):
+        """The lineage log as a Spark DataFrame (metrics / audit surface)."""
+        if not self._files():
             return self.catalog.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.catalog.read(self.table)
+        return self.catalog.spark.read.parquet(str(self._dir()))
 
     def committed_partitions(self, stage: str) -> set[str]:
-        rows = (
-            self.read()
-            .filter((F.col("stage") == stage) & (F.col("status") == "committed"))
-            .select("input_partition")
-            .distinct()
-            .collect()
-        )
-        return {r["input_partition"] for r in rows}
+        t = self._read_arrow()
+        out = set()
+        for s, status, part in zip(
+            t["stage"].to_pylist(), t["status"].to_pylist(),
+            t["input_partition"].to_pylist(),
+        ):
+            if s == stage and status == "committed":
+                out.add(part)
+        return out
 
     def stage_rows_out(self, stage: str) -> dict[str, int]:
         """Latest committed rows_out per partition for ``stage`` (the
         lineage table is partition-grain tiny; downstream stages reuse
         these counts instead of re-scanning the data they just wrote)."""
-        rows = (
-            self.read()
-            .filter((F.col("stage") == stage) & (F.col("status") == "committed"))
-            .orderBy(F.desc("committed_at"))
-            .collect()
+        t = self._read_arrow()
+        rows = sorted(
+            (
+                r
+                for r in t.to_pylist()
+                if r["stage"] == stage and r["status"] == "committed"
+            ),
+            key=lambda r: r["committed_at"],
+            reverse=True,
         )
         out: dict[str, int] = {}
         for r in rows:
@@ -84,14 +129,30 @@ class LineageLog:
         entries: list[tuple[str, int | None, int | None]],
         status: str = "committed",
     ) -> None:
+        """Append one commit file (write-then-publish: the parquet file
+        appears atomically under its final name only when complete)."""
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
-        rows = [
-            (run_id, stage, part, rows_in, rows_out, status, now)
-            for part, rows_in, rows_out in entries
-        ]
-        df = self.catalog.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-        mode = "append" if self.catalog.exists(self.table) else "overwrite"
-        self.catalog.write(df, self.table, mode=mode)
+        table = pa.Table.from_pylist(
+            [
+                {
+                    "run_id": run_id,
+                    "stage": stage,
+                    "input_partition": part,
+                    "rows_in": rows_in,
+                    "rows_out": rows_out,
+                    "status": status,
+                    "committed_at": now,
+                }
+                for part, rows_in, rows_out in entries
+            ],
+            schema=_ARROW_SCHEMA,
+        )
+        d = self._dir()
+        d.mkdir(parents=True, exist_ok=True)
+        final = d / f"commit-{uuid.uuid4().hex}.parquet"
+        tmp = d / f"{final.stem}.inprogress"
+        pq.write_table(table, tmp)
+        tmp.rename(final)
 
     def metrics(self) -> DataFrame:
         return self.read().orderBy("committed_at")
