@@ -78,15 +78,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=400_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
-    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--levels", type=str, default="8,32",
+                    help="N,4N core counts (4x apart), e.g. 4,16")
     args = ap.parse_args()
 
     if args.worker_cpus:
         print("WORKER_RESULT " + json.dumps(run_worker(args.worker_cpus, args.pages, args.trials)))
         return
 
+    lo, hi = (int(x) for x in args.levels.split(","))
+    assert hi == 4 * lo, "levels must be N and 4N"
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         out = subprocess.run(
             [sys.executable, __file__, "--worker-cpus", str(cpus),
              "--pages", str(args.pages), "--trials", str(args.trials)],
@@ -101,12 +105,12 @@ def main() -> None:
             raise SystemExit(f"worker local[{cpus}] failed")
         results[cpus] = json.loads(line[-1].removeprefix("WORKER_RESULT "))
 
-    n, n4 = results[8], results[32]
+    n, n4 = results[lo], results[hi]
     eff = (n4["docs_per_sec"] / n["docs_per_sec"]) / 4.0
     summary = {
         "pages": args.pages,
-        "local[8]": n,
-        "local[32]": n4,
+        f"local[{lo}]": n,
+        f"local[{hi}]": n4,
         "scaling_efficiency_N_to_4N": round(eff, 3),
         "meets_north_rule_0.8": eff >= 0.8,
     }

@@ -282,6 +282,177 @@ def generate(
     )
 
 
+def _build_page_chunk(
+    rng: np.random.Generator,
+    n: int,
+    blob_list: list,
+    zarr_list: list,
+    ips: list,
+    malformed_frac: float,
+) -> pd.DataFrame:
+    """Vectorized construction of one deterministic chunk of pages.
+
+    Same distributions as :func:`generate`'s page section (hot-zarr
+    skew, op/status mix, '-' bytes, malformed quotes) — not the same
+    byte stream, since the chunked RNG is seeded per chunk."""
+    hot_zarr = zarr_list[0]
+    r = rng.random(n)
+    base_keys = np.array(blob_list, dtype=object)[rng.integers(0, len(blob_list), size=n)]
+    other_zarr = np.array(zarr_list, dtype=object)[rng.integers(0, len(zarr_list), size=n)]
+    zarr_mask = r < 0.55
+    base_keys[zarr_mask] = other_zarr[zarr_mask]
+    base_keys[r < 0.45] = hot_zarr
+    base_keys[rng.random(n) < 0.01] = "blobs/fff/fff/ffffffffffffffffffffffffffffffff"
+
+    day_idx = rng.integers(0, len(FIXED_DAYS), size=n)
+    secs = rng.integers(0, 86400, size=n)
+    ts = pd.to_datetime(np.array(FIXED_DAYS, dtype="datetime64[s]")[day_idx]) + pd.to_timedelta(secs, unit="s")
+    ip_arr = np.array(ips, dtype=object)[rng.integers(0, len(ips), size=n)]
+
+    op_r = rng.random(n)
+    ops = np.full(n, "REST.GET.OBJECT", dtype=object)
+    ops[op_r > 0.95] = "REST.PUT.OBJECT"
+    ops[op_r > 0.98] = "REST.HEAD.OBJECT"
+    ops[op_r > 0.995] = "TOTALLY.UNKNOWN.OP"
+
+    st_r = rng.random(n)
+    statuses = np.full(n, "200", dtype=object)
+    statuses[st_r > 0.70] = "206"
+    statuses[st_r > 0.90] = "304"
+    statuses[st_r > 0.95] = "404"
+    statuses[st_r > 0.98] = "403"
+
+    byte_vals = rng.integers(64, 5_000_000, size=n)
+    bytes_raw = byte_vals.astype(str).astype(object)
+    bytes_raw[(rng.random(n) < 0.03) | np.isin(statuses, ["304"])] = "-"
+    base_keys[rng.random(n) < 0.005] = "favicon.ico"
+    malformed_mask = rng.random(n) < malformed_frac
+
+    lang_arr = np.where(rng.random(n) < 0.8, "en", "de")
+    n_words = rng.integers(20, 120, size=n)
+    suffix_choices = rng.integers(0, 10, size=(n, 4))
+    word_idx = rng.integers(0, 10_000, size=int(n_words.sum()))
+
+    # fully vectorized string assembly (pandas str concat / numpy word
+    # gather): per-row Python f-strings capped generation at ~20k
+    # rows/s, an order of magnitude under what the scaling-bench input
+    # sizes need
+    keys = pd.Series(base_keys, dtype=object)
+    zmask = keys.str.startswith("zarr/")
+    suffix = pd.Series(
+        np.char.add(
+            np.char.add(
+                np.char.add("/", suffix_choices[:, 0].astype(str)),
+                np.char.add("/", suffix_choices[:, 1].astype(str)),
+            ),
+            np.char.add(
+                np.char.add("/", suffix_choices[:, 2].astype(str)),
+                np.char.add("/", suffix_choices[:, 3].astype(str)),
+            ),
+        ),
+        dtype=object,
+    )
+    full_keys = keys.where(~zmask, keys + suffix)
+    ua = pd.Series("test-agent/1.0", index=keys.index, dtype=object).where(
+        ~malformed_mask, '"Mozilla/5.0 (Windows NT 10.0; Win64; x64) test/1.0'
+    )
+    req_ids = pd.Series(np.arange(n)).astype(str).str.zfill(8)
+    header = (
+        "0000aaaa0000aaaa example-bucket ["
+        + pd.Series(ts.strftime("%d/%b/%Y:%H:%M:%S"), dtype=object)
+        + " +0000] "
+        + pd.Series(ip_arr, dtype=object)
+        + " - REQ"
+        + req_ids
+        + " "
+        + pd.Series(ops, dtype=object)
+        + " "
+        + full_keys
+        + ' "GET /'
+        + full_keys
+        + ' HTTP/1.1" '
+        + pd.Series(statuses, dtype=object)
+        + " - "
+        + pd.Series(bytes_raw, dtype=object)
+        + " "
+        + pd.Series(byte_vals.astype(str), dtype=object)
+        + ' 53 52 "-" "'
+        + ua
+        + '" - HOSTID== - ECDHE-RSA-AES128-GCM-SHA256 - '
+        + "example-bucket.s3.example.com TLSv1.2 - -"
+    )
+    # bodies: one flat gather of pooled words, re-joined per row at the
+    # precomputed offsets
+    en_words = np.array(_EN_WORDS, dtype=object)
+    de_words = np.array(_DE_WORDS, dtype=object)
+    offsets = np.concatenate(([0], np.cumsum(n_words)))
+    en_flat = en_words[word_idx % len(en_words)]
+    de_flat = de_words[word_idx % len(de_words)]
+    texts = [
+        " ".join((en_flat if lang_arr[i] == "en" else de_flat)[offsets[i] : offsets[i + 1]])
+        for i in range(n)
+    ]
+    texts = pd.Series(texts, dtype=object)
+    htmls = (header + "\n" + texts).map(lambda s: s.encode("utf-8"))
+    urls = "https://example-bucket.s3.example.com/" + full_keys
+
+    return pd.DataFrame(
+        {"url": urls, "warc_ts": ts, "html": htmls, "text": texts, "lang": lang_arr}
+    )
+
+
+def generate_pages_spark(
+    spark,
+    n_pages: int,
+    seed: int = 42,
+    *,
+    malformed_frac: float = 0.015,
+    chunk: int = 8192,
+):
+    """Distributed deterministic pages table: ``spark.range`` ids ->
+    chunk-seeded RNG (``default_rng([seed, 777, chunk_id])``) ->
+    vectorized chunk build in ``mapInPandas``.
+
+    Output is a function of (n_pages, seed) only — independent of
+    partitioning and parallelism level — which is what the N-vs-4N
+    scaling protocol requires.  The driver-side :func:`generate` stays
+    the oracle for tests; this path exists because a 10^12-row design
+    point cannot be generated single-threaded (the reference's fixtures
+    are KB-scale; our bench input is not).
+    """
+    from .config import PAGES_SCHEMA
+
+    dims_src = generate(0, seed)
+    blob_keys = dims_src.assets["blob_key"].unique()
+    blob_list = [k for k in blob_keys if k.startswith("blobs/")]
+    zarr_list = [k for k in blob_keys if k.startswith("zarr/")]
+    ips = dims_src.expected["ips"]
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            for chunk_id in np.unique(ids // chunk):
+                lo = int(chunk_id) * chunk
+                m = int(min(chunk, n_pages - lo))
+                rows = _build_page_chunk(
+                    np.random.default_rng([seed, 777, int(chunk_id)]),
+                    m,
+                    blob_list,
+                    zarr_list,
+                    ips,
+                    malformed_frac,
+                )
+                sel = ids[(ids >= lo) & (ids < lo + chunk)] - lo
+                yield rows.iloc[sel]
+
+    # chunk <= Arrow batch size (10k default), so a chunk is rebuilt at
+    # most twice when split across batch boundaries; one task per ~8
+    # chunks keeps task count proportional to cores at bench scale
+    n_part = max(1, n_pages // (chunk * 8))
+    rng_df = spark.range(0, n_pages, 1, n_part)
+    return rng_df.mapInPandas(build, schema=PAGES_SCHEMA)
+
+
 def to_spark(spark, tables: SyntheticTables):
     """Materialize the synthetic tables as Spark DataFrames (Arrow path)."""
     from .config import PAGES_SCHEMA

@@ -105,7 +105,17 @@ def run_reduce_stage(
     days = lineage.pending("reduce", all_days) if resume else all_days
     if not days:
         return []
-    batch = pages.filter(F.col(day).isin(days))
+    # day.isin() wraps warc_ts in date_format, which no source can push
+    # down; the added sargable warc_ts range bounds DO reach the scan
+    # (PushedFilters: ts >= lo, ts < hi), so parquet row-group stats /
+    # Iceberg partition specs prune date-clustered data before the
+    # exact day-set filter runs
+    lo, hi = min(days), max(days)
+    batch = pages.filter(
+        (F.col("warc_ts") >= F.lit(lo).cast("date").cast("timestamp"))
+        & (F.col("warc_ts") < F.date_add(F.lit(hi).cast("date"), 1).cast("timestamp"))
+        & F.col(day).isin(days)
+    )
 
     with_header = with_header_and_text(batch)
     parsed = parse_and_filter_log_lines(
@@ -140,7 +150,13 @@ def run_reduce_stage(
             "ip_address",
             "object_key",
             "bytes_sent",
-            "url",
+            # url only matters on the error side-channel (the reference
+            # error-collects the raw line, _error_collection.py:20-28);
+            # for kept rows it is dead weight in the write and the bin
+            # shuffle, so null it out — parquet RLE-nulls cost ~nothing
+            F.when(F.col("parse_status").startswith("error_"), F.col("url")).alias(
+                "url"
+            ),
             "parse_status",
             day,
             "rclass",
@@ -255,10 +271,25 @@ def run_map_stage(
             mapped, "mapped_per_asset", partition_by=("dandiset_id", "version_id")
         )
 
-        for name, df in version_summaries(activity).items():
-            catalog.write(df, f"version_summary_{name}")
-        for name, df in dandiset_summaries(enriched, assets).items():
-            catalog.write(df, f"dandiset_summary_{name}")
+        # the six summary sinks are independent small aggregations over
+        # the persisted enriched fact — submit them as CONCURRENT jobs
+        # (Spark's scheduler interleaves their stages across the
+        # executor pool; serially each write pays its own full
+        # schedule/commit latency, the serial floor that caps N->4N
+        # scaling efficiency)
+        from concurrent.futures import ThreadPoolExecutor
+
+        sinks = [
+            (f"version_summary_{name}", df)
+            for name, df in version_summaries(activity).items()
+        ] + [
+            (f"dandiset_summary_{name}", df)
+            for name, df in dandiset_summaries(enriched, assets).items()
+        ]
+        with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+            futures = [pool.submit(catalog.write, df, name) for name, df in sinks]
+            for f in futures:
+                f.result()
 
         # row count observed during the mapped write — no re-read
         lineage.record(run_id, "map", [("ALL", None, obs.get["n"])])
