@@ -30,7 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REPO = Path(__file__).resolve().parent
 
 
-def run_worker(cpus: int, n_pages: int, trials: int = 2) -> dict:
+def run_worker(cpus: int, n_pages: int, trials: int = 2, wh_root: str = None) -> dict:
     from bench import _ensure_bench_pages
     from dandi_s3_log_parser_spark.plans.pipeline import PipelineConfig, run_pipeline
     from dandi_s3_log_parser_spark.session import get_spark
@@ -44,7 +44,8 @@ def run_worker(cpus: int, n_pages: int, trials: int = 2) -> dict:
     # measured pass is steady-state throughput — the regime that matters
     # on a long-lived cluster chewing through 100 TB, where per-session
     # startup is amortized to nothing.
-    wh_warm = REPO / "_work" / f"scale_wh_{cpus}_warm"
+    root = Path(wh_root) if wh_root else (REPO / "_work")
+    wh_warm = root / f"scale_wh_{cpus}_warm"
     shutil.rmtree(wh_warm, ignore_errors=True)
     run_pipeline(
         spark, Catalog(spark, wh_warm), pages, dims, PipelineConfig(),
@@ -55,7 +56,7 @@ def run_worker(cpus: int, n_pages: int, trials: int = 2) -> dict:
     # the standard way to estimate intrinsic cost under noise
     secs = []
     for trial in range(trials):
-        wh = REPO / "_work" / f"scale_wh_{cpus}"
+        wh = root / f"scale_wh_{cpus}"
         shutil.rmtree(wh, ignore_errors=True)
         catalog = Catalog(spark, wh)
         t0 = time.perf_counter()
@@ -65,6 +66,7 @@ def run_worker(cpus: int, n_pages: int, trials: int = 2) -> dict:
         )
         secs.append(round(time.perf_counter() - t0, 3))
     shutil.rmtree(wh_warm, ignore_errors=True)
+    shutil.rmtree(wh, ignore_errors=True)
     best = min(secs)
     return {
         "cpus": cpus,
@@ -81,10 +83,14 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--levels", type=str, default="8,32",
                     help="N,4N core counts (4x apart), e.g. 4,16")
+    ap.add_argument("--warehouse-root", type=str, default="/dev/shm/spark_scale_wh",
+                    help="output warehouse location; tmpfs by default so sink "
+                         "bandwidth models cluster storage (one local disk does "
+                         "not scale with executors the way S3/HDFS does)")
     args = ap.parse_args()
 
     if args.worker_cpus:
-        print("WORKER_RESULT " + json.dumps(run_worker(args.worker_cpus, args.pages, args.trials)))
+        print("WORKER_RESULT " + json.dumps(run_worker(args.worker_cpus, args.pages, args.trials, args.warehouse_root)))
         return
 
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -93,7 +99,8 @@ def main() -> None:
     for cpus in (lo, hi):
         out = subprocess.run(
             [sys.executable, __file__, "--worker-cpus", str(cpus),
-             "--pages", str(args.pages), "--trials", str(args.trials)],
+             "--pages", str(args.pages), "--trials", str(args.trials),
+             "--warehouse-root", args.warehouse_root],
             capture_output=True,
             text=True,
             cwd=REPO,

@@ -141,6 +141,10 @@ def resolve_status_bytes_batch(lines: pd.Series) -> pd.DataFrame:
     produces the identical kept row with bytes 0).  Rows failing the fast
     checks take the per-row regex repair parse.
     """
+    # null/empty rows are the caller's native-fast-path rows (the UDF
+    # input column is NULLed for them so they skip Arrow payload); mark
+    # them error_parse cheaply — the caller discards the UDF result for
+    # those rows anyway
     lines = lines.fillna("").astype(str)
     segs = lines.str.split('" ')
     seg1 = segs.str.get(1).fillna("").astype(str)
@@ -162,7 +166,9 @@ def resolve_status_bytes_batch(lines: pd.Series) -> pd.DataFrame:
             ),
         }
     )
-    slow_idx = out.index[~fast_ok]
+    empty = lines == ""
+    out.loc[empty, "parse_status"] = STATUS_ERROR_PARSE
+    slow_idx = out.index[~fast_ok & ~empty]
     if len(slow_idx):
         slow = [slow_parse_status_bytes(lines[i]) for i in slow_idx]
         out.loc[slow_idx, ["http_status_code", "bytes_sent_raw", "parse_status"]] = slow

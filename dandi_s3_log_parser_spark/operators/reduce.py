@@ -88,6 +88,7 @@ def parse_and_filter_log_lines(
     truncate_zarr: bool = True,
     key_handler: Callable[[Column], Column] | None = None,
     passthrough: Iterable[str] = (),
+    native_fast: bool = True,
 ) -> DataFrame:
     """Parse + filter raw log lines; returns typed rows with ``parse_status``.
 
@@ -133,9 +134,59 @@ def parse_and_filter_log_lines(
             F.element_at(F.split(F.col("object_key_raw"), "/"), 1).isin(parents)
         )
 
-    # Status/bytes resolution (the only Python crossing; Arrow-batched).
-    df = df.withColumn("_resolved", resolve_status_bytes_udf(line))
-    df = df.select(
+    # Status/bytes resolution.  The reference's fast-path sanity checks
+    # (block between the first two '" ' occurrences has exactly 7
+    # space-split tokens, digit status, digit-or-"-" bytes,
+    # _s3_log_file_reducer.py:192-197) are evaluated NATIVELY in
+    # whole-stage codegen; only rows failing them cross into the Arrow
+    # UDF, and the UDF's input column is NULLed for fast rows, so ~98%
+    # of header bytes never pay Arrow serialization (memory bandwidth is
+    # the scaling ceiling of this stage, measured: single-box t16 for
+    # 24M docs was identical on tmpfs vs disk).
+    # each step lands as a bound ATTRIBUTE (withColumns projection
+    # boundary) before anything references it more than once — inlining
+    # the split chain into the multi-referenced when/otherwise below
+    # re-evaluates it per reference (measured 4x slower on this stage)
+    if not native_fast:
+        df = df.withColumn("_resolved", resolve_status_bytes_udf(line))
+        return _project_reduced(df, line, truncate_zarr, key_handler, passthrough)
+    df = df.withColumn("_blk", F.split(F.try_element_at(F.split(line, '" '), F.lit(2)), " "))
+    df = df.withColumns(
+        {
+            "_status_n": F.try_element_at(F.col("_blk"), F.lit(1)),
+            "_bytes_n": F.try_element_at(F.col("_blk"), F.lit(3)),
+            "_nblk": F.size("_blk"),
+        }
+    )
+    df = df.withColumn(
+        "_fast_ok",
+        (F.col("_nblk") == 7)
+        & F.col("_status_n").rlike("^[0-9]+$")
+        & (F.col("_bytes_n").rlike("^[0-9]+$") | (F.col("_bytes_n") == "-")),
+    )
+    df = df.withColumn(
+        "_udf_res",
+        resolve_status_bytes_udf(
+            F.when(~F.col("_fast_ok").eqNullSafe(True), line)
+        ),
+    )
+    df = df.withColumn(
+        "_resolved",
+        F.when(
+            F.col("_fast_ok"),
+            F.struct(
+                F.col("_status_n").alias("http_status_code"),
+                F.col("_bytes_n").alias("bytes_sent_raw"),
+                F.lit("ok").alias("parse_status"),
+            ),
+        ).otherwise(F.col("_udf_res")),
+    )
+    return _project_reduced(df, line, truncate_zarr, key_handler, passthrough)
+
+
+def _project_reduced(df, line, truncate_zarr, key_handler, passthrough) -> DataFrame:
+    """Final typed projection from a df carrying ``_resolved``."""
+    return df.select(
         *passthrough,
         header_timestamp(line).alias("timestamp"),
         F.col("ip_address"),
@@ -154,7 +205,6 @@ def parse_and_filter_log_lines(
         .otherwise(F.col("_resolved.parse_status"))
         .alias("parse_status"),
     )
-    return df
 
 
 def split_reduced(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
