@@ -104,7 +104,7 @@ def main() -> None:
             capture_output=True,
             text=True,
             cwd=REPO,
-            timeout=1800,
+            timeout=5400,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
         if not line:
