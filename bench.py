@@ -37,8 +37,11 @@ def _ensure_bench_pages(spark, n_pages: int, seed: int = 42):
     on the seed and come from the driver-side oracle generator."""
     from dandi_s3_log_parser_spark.datagen import generate, generate_pages_spark, to_spark
 
-    path = WORK / f"bench_pages_n{n_pages}_s{seed}"
-    dims_path = WORK / f"bench_dims_n{n_pages}_s{seed}"
+    # v2: chunk-seeded distributed generator + TIMESTAMP_MICROS parquet
+    # (footer-stat day discovery) — versioned key so stale v1 caches
+    # (driver-side generator, INT96 timestamps) are never served
+    path = WORK / f"bench_pages_v2_n{n_pages}_s{seed}"
+    dims_path = WORK / f"bench_dims_v2_n{n_pages}_s{seed}"
     if not (path / "_SUCCESS").exists():
         pages = generate_pages_spark(spark, n_pages, seed)
         _, dims = to_spark(spark, generate(0, seed))

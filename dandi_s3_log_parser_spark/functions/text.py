@@ -86,9 +86,14 @@ def _word_hit_regex(words: tuple[str, ...]) -> str:
     ``(?:^|\\s)(?:w1|w2|...)(?=\\s|$)`` counts exactly the tokens an
     explicit split-then-filter would keep: the leading boundary consumes
     at most one separator, the trailing boundary is a lookahead, so
-    adjacent stopwords ("of the") both count.
+    adjacent stopwords ("of the") both count.  Each word is
+    regex-escaped — callers may pass arbitrary word lists, and a bare
+    metacharacter would silently break the split-then-filter
+    equivalence.
     """
-    return r"(?:^|\s)(?:" + "|".join(words) + r")(?=\s|$)"
+    import re
+
+    return r"(?:^|\s)(?:" + "|".join(re.escape(w) for w in words) + r")(?=\s|$)"
 
 
 def stopword_hits(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

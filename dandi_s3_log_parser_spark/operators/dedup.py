@@ -34,14 +34,17 @@ def word_tokens(text: Column) -> Column:
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the minimum id per exact text value (hash aggregation).
 
-    At scale, group on a fingerprint of the text (xxhash64) rather than
-    the full string to keep the shuffle narrow; collisions are broken by
-    a second exact pass within groups.
+    Groups on a 256-bit content digest (sha2) instead of the text
+    itself, so the shuffle exchange carries (32-byte digest, id) per row
+    — never the corpus bytes — and the partial (map-side) aggregation
+    collapses local duplicates before the exchange.  Digest equality is
+    text equality for all practical purposes (collision probability
+    ~2^-128 at 10^12 docs); a paranoid deployment can re-verify the
+    dup_count>1 groups with one pruned second pass.
     """
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("_fp"), F.col(text_col))
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("_digest"))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
-        .drop("_fp")
         .select(id_col, "dup_count")
     )
 

@@ -14,11 +14,14 @@ preserved exactly:
 
 Scale design: rather than range-joining every fact row against the CIDR
 table, we enrich the **distinct ip dimension** (the reference's dict
-cache is exactly this memoization) and broadcast the resulting
+cache is exactly this memoization) and equi-join the resulting
 ip -> region map back onto the facts.  Distinct IPs are orders of
 magnitude fewer than fact rows, so the non-equi range join only ever
-touches a small table; the fact-side join stays a broadcast hash join —
-no shuffle of the big side beyond the distinct().
+touches a small table; the fact-side join strategy is left to AQE
+(broadcast with a local fact-side read when the map's measured size
+fits, shuffle hash join when it does not — the map is small in practice
+but not bounded, so a forced broadcast hint would be an OOM risk at
+100x).
 """
 
 from __future__ import annotations
@@ -35,13 +38,17 @@ def ip_hash_col(ip: Column, salt: str = TEST_IP_HASH_SALT) -> Column:
 
 
 def ip_to_long_col(ip: Column) -> Column:
-    """Dotted-quad IPv4 -> long, for the CIDR containment range join."""
+    """Dotted-quad IPv4 -> long, for the CIDR containment range join.
+
+    ``try_cast`` so non-IPv4 tokens ("unknown", IPv6, garbage) yield
+    NULL — no CIDR match, precedence falls through to geo/unknown —
+    instead of failing the whole job under ANSI mode."""
     p = F.split(ip, r"\.")
     return (
-        p.getItem(0).cast("long") * 16777216
-        + p.getItem(1).cast("long") * 65536
-        + p.getItem(2).cast("long") * 256
-        + p.getItem(3).cast("long")
+        p.getItem(0).try_cast("long") * 16777216
+        + p.getItem(1).try_cast("long") * 65536
+        + p.getItem(2).try_cast("long") * 256
+        + F.try_element_at(p, F.lit(4)).try_cast("long")
     )
 
 
@@ -119,11 +126,15 @@ def merge_region_cache(catalog, ip_map: DataFrame, table: str = "ip_region_cache
         )
     else:
         merged = new
-    # materialize before overwrite (the cache table is an input of the
-    # plan, and it is small by construction: distinct ip hashes)
-    rows = merged.collect()
-    out = catalog.spark.createDataFrame(rows, merged.schema)
-    catalog.write(out, table, mode="overwrite")
+    # the merged plan READS the table it will overwrite, so it must be
+    # materialized first — but never on the driver (distinct IPs are
+    # unbounded at 100x): write to a staging table, then rewrite the
+    # final table FROM the staging files (the final write's input is the
+    # staging scan, so the read-write cycle is broken cluster-side)
+    staging = f"{table}__staging"
+    catalog.write(merged, staging, mode="overwrite")
+    catalog.write(catalog.read(staging), table, mode="overwrite")
+    catalog.drop(staging)
 
 
 def enrich_with_region(
@@ -133,12 +144,22 @@ def enrich_with_region(
     geo_fallback: DataFrame,
     *,
     salt: str = TEST_IP_HASH_SALT,
+    broadcast_ip_map: bool | None = None,
 ) -> DataFrame:
-    """Add ``region`` to fact rows via a broadcast join on the enriched
-    distinct-IP map.  The fact table is never shuffled."""
+    """Add ``region`` to fact rows via an equi-join on the enriched
+    distinct-IP map.
+
+    ``broadcast_ip_map``: the distinct-IP dimension is usually far
+    smaller than the facts but is NOT bounded — an unconditional
+    broadcast hint OOMs executors when a 100x corpus carries a multi-GB
+    IP dimension.  Default (None) leaves the strategy to Catalyst + AQE:
+    at runtime AQE sees the map side's actual shuffle size and converts
+    to a broadcast join with a local (no-network) fact-side read when it
+    fits, and degrades gracefully to a shuffle hash join when it does
+    not.  Pass True only when the caller can bound the map size."""
     ip_map = build_ip_region_map(
         facts.select("ip_address"), ip_region_cache, cidr_ranges, geo_fallback, salt=salt
-    )
-    return facts.join(
-        F.broadcast(ip_map.select("ip_address", "region")), "ip_address", "left"
-    ).fillna({"region": "unknown"})
+    ).select("ip_address", "region")
+    if broadcast_ip_map:
+        ip_map = F.broadcast(ip_map)
+    return facts.join(ip_map, "ip_address", "left").fillna({"region": "unknown"})

@@ -6,9 +6,11 @@ The reference materializes one TSV file per blob id, path-sharded
 ``_map_binned_s3_logs_to_dandisets.py:156-164``).  In Spark the
 one-file-per-key layout is a *partitioned table*, not 250k tiny files:
 
-* the binned table is partitioned by ``key_parent`` (blobs/zarr) and a
-  3-hex ``key_shard`` (the reference's first path shard) — bounded
-  partition count, prunable by key prefix;
+* the binned table is directory-partitioned by ``(day, key_parent)`` —
+  coarse, bounded, prunable for incremental per-day overwrite; the
+  reference's 3-hex ``key_shard`` and the full ``object_key`` are
+  *cluster* (sort) columns, so parquet row-group min/max stats prune
+  per-key reads without a 4096-directory fan-out per day;
 * rows are clustered by ``object_key`` inside files via a salted
   ``repartition`` + ``sortWithinPartitions``, so a per-key read touches
   few row groups;
@@ -85,8 +87,10 @@ def route_binned(
 
 
 def binned_rows_for_key(binned: DataFrame, object_key: str) -> DataFrame:
-    """Read the routed rows of one key — partition-pruned by
-    (key_parent, key_shard) before the key equality filter."""
+    """Read the routed rows of one key — directory-pruned on
+    ``key_parent`` (a partition column), then row-group-pruned on the
+    ``key_shard``/``object_key`` sort columns' min/max stats before the
+    key equality filter evaluates."""
     parent = object_key.split("/")[0]
     shard = object_key.split("/")[1] if parent == "blobs" else object_key.split("/")[1][:3]
     return binned.filter(

@@ -156,6 +156,7 @@ def train_ivf_centroids(
     seed: int = 1234,
     sample_rows: int = 20_000,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means on a bounded driver-side sample.
 
@@ -163,8 +164,21 @@ def train_ivf_centroids(
     too): the sample is capped at ``sample_rows`` regardless of corpus
     size, so the only cluster-scale work is the assignment pass.
     Vectors are L2-normalized so nearest-centroid-by-dot == cosine cell.
+
+    The sample is the ``sample_rows`` lowest values of ``xxhash64(id)``
+    — an order-by-hash take: unbiased (hash order is independent of any
+    corpus sort order; a bare ``.limit()`` would train on whatever
+    partitions list first) AND stable across partition layouts / Spark
+    versions (``.sample(fraction, seed)`` is not), executed as a
+    per-partition top-k + driver merge, never a full sort.
     """
-    pdf = embeddings.select(vec_col).limit(sample_rows).toPandas()
+    pdf = (
+        embeddings.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_rows)
+        .select(vec_col)
+        .toPandas()
+    )
     mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -219,7 +233,8 @@ def ivf_topk(
     exploded x nprobe and broadcast.
     """
     cents = train_ivf_centroids(
-        embeddings, dim=dim, n_centroids=n_centroids, seed=seed, vec_col=vec_col
+        embeddings, dim=dim, n_centroids=n_centroids, seed=seed,
+        vec_col=vec_col, id_col=id_col,
     )
     corpus_cell = make_ivf_cell_udf(cents, nprobe=1)
     query_cells = make_ivf_cell_udf(cents, nprobe=nprobe)

@@ -130,7 +130,14 @@ class LineageLog:
         status: str = "committed",
     ) -> None:
         """Append one commit file (write-then-publish: the parquet file
-        appears atomically under its final name only when complete)."""
+        appears atomically under its final name only when complete).
+
+        The in-progress temp name starts with '.' so Spark's file index
+        ignores it: a crash between write and rename must not leave a
+        partial file that ``read()``/``metrics()`` (spark.read.parquet
+        over the directory) would choke on.  Stale hidden temp files
+        from crashed writers are GC'd opportunistically here.
+        """
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
         table = pa.Table.from_pylist(
             [
@@ -149,8 +156,16 @@ class LineageLog:
         )
         d = self._dir()
         d.mkdir(parents=True, exist_ok=True)
+        import time
+
+        for stale in d.glob(".commit-*.inprogress"):
+            try:
+                if time.time() - stale.stat().st_mtime > 600:
+                    stale.unlink()
+            except OSError:
+                pass
         final = d / f"commit-{uuid.uuid4().hex}.parquet"
-        tmp = d / f"{final.stem}.inprogress"
+        tmp = d / f".{final.stem}.inprogress"
         pq.write_table(table, tmp)
         tmp.rename(final)
 

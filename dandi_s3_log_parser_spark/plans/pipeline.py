@@ -62,6 +62,36 @@ def _day_counts(df: DataFrame, day_col: str) -> dict[str, int]:
     return {str(r[day_col]): r["count"] for r in rows}
 
 
+def discover_days(pages: DataFrame, ts_col: str = "warc_ts") -> list[str]:
+    """Work-list discovery WITHOUT a data scan of the input.
+
+    On an Iceberg/partitioned source the day list is partition metadata
+    and callers should pass it to :func:`run_reduce_stage` directly via
+    ``days=``.  This fallback derives the calendar-day range from
+    ``min/max(ts_col)`` — a single aggregate over one column with no
+    grouping, which parquet answers from footer statistics when
+    ``spark.sql.parquet.aggregatePushDown`` is on (PushedAggregation in
+    the scan; zero data pages read) and otherwise costs one
+    column-pruned pass over the timestamp column only.  Either way the
+    full-width input is never scanned before the real work starts (the
+    round-1 plan ran groupBy(day).count() over the whole input — 2x the
+    most expensive scan at 100 TB).
+
+    Days with no rows inside the range are harmless: they produce no
+    output partitions and commit rows_in=0 lineage.
+    """
+    import datetime
+
+    row = pages.select(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).first()
+    if row is None or row["lo"] is None:
+        return []
+    lo, hi = row["lo"].date(), row["hi"].date()
+    n = (hi - lo).days
+    return [str(lo + datetime.timedelta(days=i)) for i in range(n + 1)]
+
+
 def read_reduced(catalog: Catalog) -> DataFrame:
     """Kept reduced rows (partition-pruned on rclass='ok')."""
     return catalog.read("reduced").filter(F.col("rclass") == "ok").drop("rclass")
@@ -90,18 +120,22 @@ def run_reduce_stage(
     *,
     excluded_ips: DataFrame | None = None,
     resume: bool = True,
+    days: list[str] | None = None,
 ) -> list[str]:
     """Pages -> ``reduced`` (day-partitioned) + ``errors`` side-output.
 
     Returns the list of day partitions processed this run.
+
+    ``days``: explicit day work list (partition metadata on an Iceberg /
+    day-partitioned source — the at-scale path).  When None it is derived
+    from footer-stat min/max via :func:`discover_days`; either way the
+    full-width pages input is scanned exactly once, by the parse pass,
+    and the per-day rows_in lineage metric rides that pass via
+    ``observe()`` instead of a pre-scan.
     """
     day = cfg.day_col
+    all_days = discover_days(pages, "warc_ts") if days is None else sorted(days)
     pages = pages.withColumn(day, F.date_format("warc_ts", "yyyy-MM-dd"))
-    # ONE pages pass yields both the work list and the rows_in lineage
-    # metric (a separate distinct() + groupBy().count() would scan the
-    # 100 TB input twice before any work starts)
-    rows_in = _day_counts(pages, day)
-    all_days = sorted(rows_in)
     days = lineage.pending("reduce", all_days) if resume else all_days
     if not days:
         return []
@@ -116,6 +150,20 @@ def run_reduce_stage(
         & (F.col("warc_ts") < F.date_add(F.lit(hi).cast("date"), 1).cast("timestamp"))
         & F.col(day).isin(days)
     )
+
+    # rows_in per day rides the SAME (and only) pages scan as the parse
+    # itself: an Observation attached before the parse filters counts
+    # input rows per day during the write action (days are
+    # partition-grain so the metric list is small; beyond the cap
+    # rows_in is recorded as unknown rather than paying a second scan)
+    obs_in = None
+    if len(days) <= 64:
+        from pyspark.sql import Observation
+
+        obs_in = Observation(f"reduce_in_{run_id}")
+        batch = batch.observe(
+            obs_in, *[F.count(F.when(F.col(day) == d, 1)).alias(d) for d in days]
+        )
 
     with_header = with_header_and_text(batch)
     parsed = parse_and_filter_log_lines(
@@ -136,58 +184,59 @@ def run_reduce_stage(
     # _error_collection.py:7-40).  Well-formed-but-rejected rows
     # (drop_*) are filtered out entirely, matching the bad-lines golden
     # semantics.
-    out = (
-        parsed.filter(
-            F.col("parse_status").isin(*OK_STATUSES)
-            | F.col("parse_status").startswith("error_")
-        )
-        .withColumn(
-            "rclass",
-            F.when(F.col("parse_status").startswith("error_"), "error").otherwise("ok"),
-        )
-        .select(
-            "timestamp",
-            "ip_address",
-            "object_key",
-            "bytes_sent",
-            # url only matters on the error side-channel (the reference
-            # error-collects the raw line, _error_collection.py:20-28);
-            # for kept rows it is dead weight in the write and the bin
-            # shuffle, so null it out — parquet RLE-nulls cost ~nothing
-            F.when(F.col("parse_status").startswith("error_"), F.col("url")).alias(
-                "url"
-            ),
-            "parse_status",
-            day,
-            "rclass",
-        )
+    full = parsed.withColumn(
+        "rclass",
+        F.when(F.col("parse_status").startswith("error_"), "error").when(
+            F.col("parse_status").isin(*OK_STATUSES), "ok"
+        ),
+    ).select(
+        "timestamp",
+        "ip_address",
+        "object_key",
+        "bytes_sent",
+        # url only matters on the error side-channel (the reference
+        # error-collects the raw line, _error_collection.py:20-28);
+        # for kept rows it is dead weight in the write and the bin
+        # shuffle, so null it out — parquet RLE-nulls cost ~nothing
+        F.when(F.col("parse_status").startswith("error_"), F.col("url")).alias("url"),
+        "parse_status",
+        day,
+        "rclass",
     )
-    # rows_out per day rides the write action itself via observe() —
-    # no post-write re-scan of the output (days are partition-grain, so
-    # the metric list stays small; beyond the cap we fall back to one
-    # pruned scan of the written table)
-    if len(days) <= 64:
-        from pyspark.sql import Observation
+    # rows_out per day rides the write action itself via observe() — no
+    # post-write re-scan of the output.  The CollectMetrics node sits
+    # BETWEEN the parse projection and the rclass keep-filter on
+    # purpose: it is also an optimizer barrier.  Without it Catalyst
+    # pushes the filter through the parse projection by substituting
+    # the whole parse expression tree into the predicate — every row
+    # then pays the native parse twice plus a second ArrowEvalPython
+    # (observed in the round-1 physical plan).
+    from pyspark.sql import Observation
 
-        obs = Observation(f"reduce_out_{run_id}")
-        out = out.observe(
-            obs,
-            *[
-                F.count(F.when((F.col(day) == d) & (F.col("rclass") == "ok"), 1)).alias(d)
-                for d in days
-            ],
-        )
-        catalog.write(out, "reduced", partition_by=(day, "rclass"), mode="overwrite")
+    obs = Observation(f"reduce_out_{run_id}")
+    if len(days) <= 64:
+        metric_cols = [
+            F.count(F.when((F.col(day) == d) & (F.col("rclass") == "ok"), 1)).alias(d)
+            for d in days
+        ]
+    else:
+        metric_cols = [F.count(F.when(F.col("rclass") == "ok", 1)).alias("_total_ok")]
+    full = full.observe(obs, *metric_cols)
+    out = full.filter(F.col("rclass").isNotNull())
+    catalog.write(out, "reduced", partition_by=(day, "rclass"), mode="overwrite")
+    if len(days) <= 64:
         rows_out = obs.get
     else:
-        catalog.write(out, "reduced", partition_by=(day, "rclass"), mode="overwrite")
+        # beyond the metric cap: one pruned scan of the (much smaller)
+        # written table
         rows_out = _day_counts(
             read_reduced(catalog).filter(F.col(day).isin(days)), day
         )
+    rows_in = obs_in.get if obs_in is not None else {}
     lineage.record(
         run_id,
         "reduce",
-        [(d, rows_in.get(d, 0), rows_out.get(d, 0)) for d in days],
+        [(d, rows_in.get(d), rows_out.get(d, 0)) for d in days],
     )
     return days
 

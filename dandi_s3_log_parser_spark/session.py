@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # work-list discovery (plans.pipeline.discover_days) is a bare
+        # min/max over the timestamp column: with aggregate pushdown the
+        # scan answers it from parquet footer stats (zero data pages);
+        # TIMESTAMP_MICROS (not INT96) is required for usable ts stats
+        .config("spark.sql.parquet.aggregatePushDown", "true")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")

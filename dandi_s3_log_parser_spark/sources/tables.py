@@ -72,13 +72,29 @@ class Catalog:
     ) -> None:
         """``mode='overwrite'`` with partition columns does a *dynamic*
         overwrite (only the partitions present in ``df`` are replaced) —
-        the parquet analog of an Iceberg ``overwritePartitions`` commit."""
+        the parquet analog of an Iceberg ``overwritePartitions`` commit.
+
+        Iceberg path semantics mirror the parquet fallback exactly:
+        first write creates the table with the partition spec; appends
+        append; overwrites replace only the partitions present in ``df``
+        (``overwritePartitions``), never the whole table — a full
+        ``createOrReplace`` would break the resume contract (a re-run of
+        one day would erase every other committed day).
+        """
         if self.iceberg_catalog:
+            from pyspark.sql import functions as F
+
             writer = df.writeTo(self._ident(name))
-            if mode == "append" and self.exists(name):
+            if not self.exists(name):
+                writer = writer.using("iceberg")
+                if partition_by:
+                    cols = [F.col(c) for c in partition_by]
+                    writer = writer.partitionedBy(cols[0], *cols[1:])
+                writer.create()
+            elif mode == "append":
                 writer.append()
             else:
-                writer.using("iceberg").createOrReplace()
+                writer.overwritePartitions()
             return
         writer = df.write.mode(mode)
         if partition_by:

@@ -52,8 +52,15 @@ def stream_reduce(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         day = cfg.day_col
         batch = batch_df.withColumn(day, F.date_format("warc_ts", "yyyy-MM-dd"))
+        # per-batch lineage counts ride the ONE write action via
+        # observe() — a count() on batch/reduced would re-run the whole
+        # parse chain once per metric, tripling the per-microbatch work
+        obs_in = Observation(f"stream_in_{batch_id}")
+        batch = batch.observe(obs_in, F.count(F.lit(1)).alias("n"))
         parsed = parse_and_filter_log_lines(
             with_header_and_text(batch),
             "header",
@@ -63,15 +70,28 @@ def stream_reduce(
             truncate_zarr=cfg.truncate_zarr,
             passthrough=("url", day),
         )
+        # the observe sits BETWEEN parse and the kept-filter: it counts
+        # kept rows AND blocks Catalyst from pushing the filter through
+        # the parse projection (which would duplicate the whole parse
+        # expression tree — see plans/pipeline.py reduce stage)
+        from ..config import OK_STATUSES
+
+        obs_out = Observation(f"stream_out_{batch_id}")
+        parsed = parsed.observe(
+            obs_out,
+            F.count(F.when(F.col("parse_status").isin(*OK_STATUSES), 1)).alias("n"),
+        )
         kept, errors = split_reduced(parsed)
         reduced = kept.select(
             "timestamp", "ip_address", "object_key", "bytes_sent", "url", day
         )
-        n_in = batch.count()
-        n_out = reduced.count()
         mode = "append" if catalog.exists("reduced_stream") else "overwrite"
         catalog.write(reduced, "reduced_stream", partition_by=(day,), mode=mode)
-        lineage.record(f"stream-batch-{batch_id}", "stream_reduce", [(str(batch_id), n_in, n_out)])
+        lineage.record(
+            f"stream-batch-{batch_id}",
+            "stream_reduce",
+            [(str(batch_id), obs_in.get["n"], obs_out.get["n"])],
+        )
 
     writer = (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)
