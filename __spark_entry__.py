@@ -3,9 +3,12 @@
 ``queries()`` exposes one entry per implemented operator class from
 SURVEY.md §2 (plus the training-data-pipeline operators), each runnable
 on the driver-provided TPC-H-ish tables; ``oracle_sql()`` gives the
-DuckDB-equivalent SQL.  Non-SQL-expressible operators (MinHash-LSH,
-SimHash, LSH-ANN, the synthetic-pages pipeline) have queries() entries
-without oracles (rows-only checks).
+DuckDB-equivalent SQL.  Every query has an oracle.  Three oracle
+flavors: direct SQL equivalents; exact recomputes where the operator is
+deterministically exact at oracle scale (MinHash/SimHash dedup); and
+per-emitted-row soundness recomputes through the committed
+``oracle_exchange/`` side-channel for approximate ANN and for inputs
+DuckDB cannot derive (the synthetic pipeline / multimodal payloads).
 
 Column-name/type parity rules used throughout: every computed column is
 aliased identically on both sides; money/double sums are computed on
@@ -32,6 +35,36 @@ from dandi_s3_log_parser_spark.functions.text import (  # noqa: E402
 
 _T = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
       "events", "documents", "embeddings")
+
+# --- oracle exchange --------------------------------------------------------
+# Deterministic side-channel for queries whose oracle needs data DuckDB
+# cannot derive from the registered views alone (ANN results to
+# soundness-check per emitted row; the synthetic pipeline/multimodal
+# inputs).  Files are tiny, byte-deterministic, committed to the repo,
+# and rewritten by the query functions at the oracle scale factor
+# (sf0.01) so both run orders (spark-first or oracle-first) see the
+# same content.
+_EXCHANGE = Path(__file__).resolve().parent / "oracle_exchange"
+_ORACLE_SF = "sf0.01"
+
+
+def _publish_exchange(name: str, pdf) -> str:
+    """Write a small pandas frame as one parquet file; returns the path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _EXCHANGE.mkdir(exist_ok=True)
+    path = _EXCHANGE / f"{name}.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return str(path)
+
+
+def _exchange_path(name: str) -> str:
+    return str(_EXCHANGE / f"{name}.parquet")
+
+
+def _is_oracle_sf(sf_dir: str) -> bool:
+    return Path(sf_dir).name == _ORACLE_SF
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -350,10 +383,15 @@ def q_embedding_sim_pairs(spark, sf):
     )
 
 
-# --- non-SQL-expressible (rows-only checks) ---------------------------------
+# --- LSH / ANN / pipeline — oracle-verified via exact recompute -------------
 
 
 def q_minhash_lsh_dedup(spark, sf):
+    """Banded MinHash-LSH candidates + exact-Jaccard verify.  The oracle
+    recomputes ALL exact pairs >= threshold: at oracle scale the true
+    pairs sit far above the threshold (seeded near-dups, jaccard >= .85),
+    where the fixed 16-hash/4-band family has deterministic recall 1, so
+    LSH output == exact output."""
     from dandi_s3_log_parser_spark.operators.dedup import minhash_dedup
 
     d = _load(spark, sf, "documents")
@@ -361,13 +399,24 @@ def q_minhash_lsh_dedup(spark, sf):
 
 
 def q_simhash_near_dup(spark, sf):
-    from dandi_s3_log_parser_spark.operators.dedup import simhash_near_dup_pairs
+    """SimHash near-dups, EXACT by construction (hamming<=3 over 4
+    16-bit chunks -> pigeonhole recall 1).  Uses the md5-derived 60-bit
+    token hash family so DuckDB can rebuild every simhash and verify the
+    pair set end to end."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        md5_token_hash_60,
+        simhash_near_dup_pairs,
+    )
 
-    d = _load(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return simhash_near_dup_pairs(d, max_hamming=8)
+    d = _load(spark, sf, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3, token_hash=md5_token_hash_60)
 
 
 def q_lsh_ann_topk(spark, sf):
+    """Hyperplane-LSH ANN top-k.  ANN output is approximate, so the
+    oracle is a per-emitted-row soundness check: the returned pairs are
+    published to the oracle exchange and DuckDB independently recomputes
+    cosine and within-set rank for exactly those pairs."""
     from dandi_s3_log_parser_spark.operators.similarity import lsh_bucketed_topk
 
     emb = _load(spark, sf, "embeddings")
@@ -375,12 +424,18 @@ def q_lsh_ann_topk(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dim = len(emb.select("embedding").first()[0])
-    return lsh_bucketed_topk(
+    out = lsh_bucketed_topk(
         emb, queries, k=10, dim=dim, n_planes=8, query_id_col="query_id"
     )
+    if _is_oracle_sf(sf):
+        _publish_exchange(
+            "lsh_ann_topk", out.select("query_id", "neighbor_id").toPandas()
+        )
+    return out
 
 
 def q_ivf_ann_topk(spark, sf):
+    """IVF ANN top-k; same exchange-soundness oracle as lsh_ann_topk."""
     from dandi_s3_log_parser_spark.operators.similarity import ivf_topk
 
     emb = _load(spark, sf, "embeddings")
@@ -388,16 +443,48 @@ def q_ivf_ann_topk(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dim = len(emb.select("embedding").first()[0])
-    return ivf_topk(
+    out = ivf_topk(
         emb, queries, k=10, dim=dim, n_centroids=8, nprobe=3,
         query_id_col="query_id",
+    )
+    if _is_oracle_sf(sf):
+        _publish_exchange(
+            "ivf_ann_topk", out.select("query_id", "neighbor_id").toPandas()
+        )
+    return out
+
+
+def _publish_pipeline_inputs(tables) -> None:
+    """Dump the deterministic synthetic pipeline inputs for the SQL
+    oracle: pages + dimension tables, plus (ip, sha1-hash) computed with
+    PYTHON hashlib (not Spark) because DuckDB has no sha1()."""
+    import pandas as pd
+
+    from dandi_s3_log_parser_spark.datagen import sha1_ip_hash
+
+    _publish_exchange("pp_pages", tables.pages)
+    _publish_exchange("pp_assets", tables.assets)
+    _publish_exchange("pp_cidr", tables.cidr_ranges)
+    _publish_exchange("pp_cache", tables.ip_region_cache)
+    _publish_exchange("pp_geo", tables.geo_fallback)
+    _publish_exchange("pp_excluded", tables.excluded_ips)
+    ips = tables.expected["ips"]
+    _publish_exchange(
+        "pp_iphash",
+        pd.DataFrame(
+            {"ip_address": ips, "ip_hash": [sha1_ip_hash(ip) for ip in ips]}
+        ),
     )
 
 
 def q_pages_pipeline(spark, sf):
-    """Full graft pipeline on deterministic synthetic pages (rows-only):
-    parse -> enrich -> route -> aggregate, returning the dandiset by-day
-    summary."""
+    """Full graft pipeline on deterministic synthetic pages: parse ->
+    enrich -> route -> aggregate, returning the dandiset by-REGION
+    summary (exercises the whole enrich precedence chain).  The oracle
+    re-derives the summary in pure SQL from the dumped raw inputs:
+    header split, op/key/status filters, zarr truncation, excluded-ip
+    anti join, cache>CIDR-first-match>geo>unknown region resolution,
+    distinct-blob dandiset join, groupBy sum."""
     import tempfile
 
     from dandi_s3_log_parser_spark.datagen import generate, to_spark
@@ -408,12 +495,18 @@ def q_pages_pipeline(spark, sf):
     pages, dims = to_spark(spark, tables)
     cat = Catalog(spark, tempfile.mkdtemp(prefix="entry_pipeline_"))
     run_pipeline(spark, cat, pages, dims, PipelineConfig(), "entry")
-    return cat.read("dandiset_summary_by_day")
+    if _is_oracle_sf(sf):
+        _publish_pipeline_inputs(tables)
+    return cat.read("dandiset_summary_by_region").select(
+        "dandiset_id", "region", F.col("bytes_sent").cast("long").alias("bytes_sent")
+    )
 
 
 def q_multimodal_decode(spark, sf):
-    """Binary media plumbing (rows-only): synthetic pages html bytes ->
-    mapInPandas decode-stub -> per-kind stats."""
+    """Binary media plumbing: synthetic html bytes -> mapInPandas
+    decode-stub -> per-row decoded features.  The fake decode derives
+    dimensions from sha256(payload), which DuckDB can recompute from
+    the dumped payloads — every emitted row is verified."""
     from dandi_s3_log_parser_spark.datagen import generate, to_spark
     from dandi_s3_log_parser_spark.operators.multimodal import (
         decode_media,
@@ -422,9 +515,22 @@ def q_multimodal_decode(spark, sf):
 
     tables = generate(300, seed=13)
     pages, _ = to_spark(spark, tables)
-    decoded = decode_media(media_from_pages(pages))
-    return decoded.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("byte_len").alias("total_bytes")
+    media = media_from_pages(pages)
+    if _is_oracle_sf(sf):
+        _publish_exchange(
+            "multimodal_media",
+            media.select("media_id", "kind", "payload").toPandas(),
+        )
+    decoded = decode_media(media)
+    return decoded.select(
+        "media_id",
+        "kind",
+        "byte_len",
+        F.col("sha256").alias("payload_sha256"),
+        "width",
+        "height",
+        "duration_ms",
+        "n_frames",
     )
 
 
@@ -478,6 +584,101 @@ _EN = _sql_list(EN_STOPWORDS)
 _DE = _sql_list(DE_STOPWORDS)
 
 _TOKENS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+
+# 60 bit-vote terms rebuilding the SimHash in SQL (one per hash bit):
+# bit i of the simhash is 1 iff more token hashes have bit i set than not
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+    for i in range(60)
+)
+
+# per-emitted-row ANN verification: cosine and within-set rank
+# recomputed from the embeddings view for exactly the pairs the Spark
+# operator returned (published via the oracle exchange)
+_ANN_SOUNDNESS_SQL = """
+    WITH p AS (
+        SELECT query_id, neighbor_id FROM read_parquet('{pairs}')
+    ), scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]))),
+                     6) AS cosine_sim
+        FROM p
+        JOIN embeddings e ON e.vec_id = p.neighbor_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+"""
+
+# the full pipeline re-derived in SQL over the dumped raw inputs.
+# Header tokens by position (space-split; the quoted request segment is
+# exactly 3 tokens in the synthetic corpus): 5=ip, 8=operation, 9=key,
+# 13=status, 15=bytes
+_PAGES_PIPELINE_SQL = """
+    WITH parsed AS (
+        SELECT string_split(split_part(decode(html), chr(10), 1), ' ') AS t
+        FROM read_parquet('{pages}')
+    ), fields AS (
+        SELECT t[5] AS ip, t[8] AS op, t[9] AS key,
+               t[13] AS status, t[15] AS bytes_raw
+        FROM parsed
+    ), kept AS (
+        SELECT ip,
+               CASE WHEN key LIKE 'zarr/%' THEN
+                    split_part(key, '/', 1) || '/' || split_part(key, '/', 2)
+               ELSE key END AS object_key,
+               CASE WHEN bytes_raw = '-' THEN 0
+                    ELSE CAST(bytes_raw AS BIGINT) END AS bytes_sent
+        FROM fields
+        WHERE op = 'REST.GET.OBJECT'
+          AND split_part(key, '/', 1) IN ('blobs', 'zarr')
+          AND status LIKE '2%'
+          AND ip NOT IN (SELECT ip_address FROM read_parquet('{excluded}'))
+    ), ips AS (
+        SELECT DISTINCT ip,
+               TRY_CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+               + TRY_CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+               + TRY_CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+               + TRY_CAST(split_part(ip, '.', 4) AS BIGINT) AS ip_long
+        FROM kept
+    ), cidr_first AS (
+        SELECT ip, region FROM (
+            SELECT i.ip,
+                   CASE WHEN c.subregion IS NOT NULL
+                        THEN c.service || '/' || c.subregion
+                        ELSE c.service END AS region,
+                   row_number() OVER (PARTITION BY i.ip
+                                      ORDER BY c.precedence) AS rn
+            FROM ips i
+            JOIN read_parquet('{cidr}') c
+              ON i.ip_long BETWEEN c.net_start AND c.net_end
+        ) WHERE rn = 1
+    ), region_map AS (
+        SELECT i.ip,
+               COALESCE(CASE WHEN i.ip = 'unknown' THEN 'unknown' END,
+                        ca.region, cf.region, g.region, 'unknown') AS region
+        FROM ips i
+        LEFT JOIN read_parquet('{iphash}') ih ON ih.ip_address = i.ip
+        LEFT JOIN read_parquet('{cache}') ca ON ca.ip_hash = ih.ip_hash
+        LEFT JOIN cidr_first cf ON cf.ip = i.ip
+        LEFT JOIN read_parquet('{geo}') g ON g.ip_hash = ih.ip_hash
+    ), blob_dim AS (
+        SELECT DISTINCT dandiset_id, blob_key FROM read_parquet('{assets}')
+    )
+    SELECT d.dandiset_id, r.region,
+           CAST(sum(k.bytes_sent) AS BIGINT) AS bytes_sent
+    FROM kept k
+    JOIN blob_dim d ON k.object_key = d.blob_key
+    JOIN region_map r ON r.ip = k.ip
+    GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -682,5 +883,70 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+        """,
+        # exact all-pairs recompute: LSH recall is deterministically 1
+        # at oracle scale (all true pairs >= .85 jaccard), so equality
+        # with the exhaustive answer is the correctness claim
+        "minhash_lsh_dedup": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len({toks_lower}) - 1, 1)),
+                           i -> {toks_lower}[i] || ' ' || {toks_lower}[i+1]
+                                || ' ' || {toks_lower}[i+2]
+                       )) AS grams
+                FROM documents
+                WHERE len({toks_lower}) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))),
+                         4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+        """,
+        # full simhash rebuild in SQL: md5-60bit token hashes, 60
+        # bit-vote aggregates, all-pairs hamming <= 3 (the Spark side's
+        # chunk-LSH is exact at this distance by pigeonhole)
+        "simhash_near_dup": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({toks_lower}) AS t FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv
+                FROM tok
+            ), sh AS (
+                SELECT doc_id, {_SIMHASH_BITS_SQL} AS s FROM h GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.s, b.s)) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        # ANN soundness oracles: the emitted (query, neighbor) pairs are
+        # read back from the oracle exchange and cosine + within-set
+        # rank are recomputed INDEPENDENTLY from the embeddings view —
+        # every returned row is mechanically verified
+        "lsh_ann_topk": _ANN_SOUNDNESS_SQL.format(pairs=_exchange_path("lsh_ann_topk")),
+        "ivf_ann_topk": _ANN_SOUNDNESS_SQL.format(pairs=_exchange_path("ivf_ann_topk")),
+        "pages_pipeline": _PAGES_PIPELINE_SQL.format(
+            pages=_exchange_path("pp_pages"),
+            excluded=_exchange_path("pp_excluded"),
+            cidr=_exchange_path("pp_cidr"),
+            cache=_exchange_path("pp_cache"),
+            geo=_exchange_path("pp_geo"),
+            iphash=_exchange_path("pp_iphash"),
+            assets=_exchange_path("pp_assets"),
+        ),
+        "multimodal_decode": f"""
+            SELECT media_id, kind,
+                   octet_length(payload) AS byte_len,
+                   sha256(decode(payload)) AS payload_sha256,
+                   64 + CAST(concat('0x', substr(sha256(decode(payload)), 1, 2)) AS INT) * 4 AS width,
+                   64 + CAST(concat('0x', substr(sha256(decode(payload)), 3, 2)) AS INT) * 4 AS height,
+                   CAST(0 AS BIGINT) AS duration_ms,
+                   1 AS n_frames
+            FROM read_parquet('{_exchange_path("multimodal_media")}')
         """,
     }

@@ -279,9 +279,24 @@ def _simhash_from_token_hashes(token_hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> Column:
-    """SimHash column: token hashing native, bit-vote vectorized in numpy."""
-    token_hashes = F.transform(word_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+def md5_token_hash_60(tok: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5.
+
+    Exists so an external ANSI-SQL engine can recompute the identical
+    hash (``CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)``) and
+    mechanically verify the whole SimHash pipeline; xxhash64 (the
+    default family, ~3x faster) has no portable SQL equivalent.  15 hex
+    chars keep the value inside a signed 64-bit long."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str = "text", *, token_hash=None) -> Column:
+    """SimHash column: token hashing native, bit-vote vectorized in numpy.
+
+    ``token_hash``: Column->Column hash family; default xxhash64 (fast
+    path), :func:`md5_token_hash_60` for oracle-verifiable output."""
+    hash_fn = token_hash or F.xxhash64
+    token_hashes = F.transform(word_tokens(F.col(text_col)), lambda t: hash_fn(t))
     return _simhash_from_token_hashes(token_hashes)
 
 
@@ -291,10 +306,16 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, LSH-bucketed on 16-bit
-    chunks (a pair within distance 3 shares at least one of 4 chunks)."""
-    docs = df.select(F.col(id_col).alias("id"), simhash(df, text_col).alias("sh"))
+    chunks.  With ``max_hamming <= 3`` the result is EXACT (pigeonhole:
+    a pair within distance 3 over 4 chunks must share one chunk), which
+    is what makes the operator oracle-verifiable end to end."""
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        simhash(df, text_col, token_hash=token_hash).alias("sh"),
+    )
     chunks = docs.select(
         "id",
         "sh",

@@ -99,3 +99,29 @@ def test_embedding_near_dup_pairs(spark, vectors):
              embedding_near_dup_pairs(vectors, threshold=0.95).collect()}
     assert (0, 1) in pairs
     assert len(pairs) == 1
+
+
+def test_ivf_ann_recall_and_determinism(spark, vectors):
+    from dandi_s3_log_parser_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(vectors, queries, k=3).collect()
+    kw = dict(k=3, dim=16, n_centroids=4, nprobe=2)
+    ann = ivf_topk(vectors, queries, **kw).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[q] & ann_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.6  # nprobe=2/4 cells
+    # top-1 is the query itself (its own cell is always probed first)
+    ann_top1 = {r["query_id"]: r["neighbor_id"] for r in ann if r["rank"] == 1}
+    assert ann_top1 == {0: 0, 1: 1, 2: 2}
+    # deterministic across repartitioned inputs (order-by-hash sample)
+    ann2 = ivf_topk(vectors.repartition(7), queries, **kw).collect()
+    assert sorted(map(tuple, ann)) == sorted(map(tuple, ann2))
