@@ -62,7 +62,12 @@ def cmd_pipeline(args) -> int:
 
     spark = _build_session(args)
     catalog = Catalog(spark, args.warehouse, iceberg_catalog=args.iceberg_catalog)
-    cfg = PipelineConfig(salt_buckets=args.salt_buckets)
+    cfg = PipelineConfig(
+        salt_buckets=args.salt_buckets,
+        excluded_years=tuple(args.excluded_years or ()),
+        file_limit=args.file_limit,
+        dandiset_limit=args.dandiset_limit,
+    )
     run_id = args.run_id or f"run-{int(time.time())}"
     pages = spark.read.parquet(args.pages) if args.pages else None
     dims = _load_dims(spark, args.dims)
@@ -123,6 +128,15 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--salt-buckets", type=int, default=8)
     r.add_argument("--run-id", default=None)
     r.add_argument("--no-resume", action="store_true")
+    # reference work-limiting knobs (_dandi_s3_log_file_reducer.py:70,
+    # _bin_all_reduced_s3_logs_by_object_key.py:56,
+    # _map_binned_s3_logs_to_dandisets.py:76)
+    r.add_argument("--excluded-years", type=int, nargs="*", default=None,
+                   help="skip these calendar years in the reduce work list")
+    r.add_argument("--file-limit", type=int, default=None,
+                   help="max day partitions one bin run consumes")
+    r.add_argument("--dandiset-limit", type=int, default=None,
+                   help="map only the first N dandisets (sorted)")
     r.set_defaults(fn=cmd_pipeline)
 
     li = sub.add_parser("lineage", help="show the lineage/checkpoint table")

@@ -54,6 +54,16 @@ def header_timestamp(line: Column) -> Column:
     return F.to_timestamp(F.substring_index(bracket, " ", 1), "dd/MMM/yyyy:HH:mm:ss")
 
 
+def tz_nonstandard(line: Column) -> Column:
+    """True when the bracket timestamp's zone token exists and is not
+    ``+0000``.  The reference WARNS on unexpected timezones but does not
+    drop the row (``_s3_log_file_reducer.py:265-270``); the pipeline
+    surfaces this as an observed metric counter (SURVEY P9), never a
+    filter."""
+    tz = F.regexp_extract(line, r"\[[^ \]]+ ([^\]]+)\]", 1)
+    return (tz != "") & (tz != "+0000")
+
+
 def truncate_zarr_key(key: Column) -> Column:
     """``zarr/<id>/a/b/c`` -> ``zarr/<id>``; other keys unchanged.
 

@@ -54,6 +54,16 @@ class PipelineConfig:
     ip_hash_salt: str = TEST_IP_HASH_SALT
     salt_buckets: int = 8
     day_col: str = "day"
+    # work-limiting knobs mirroring the reference CLIs:
+    # excluded_years (_dandi_s3_log_file_reducer.py:70) skips whole years
+    # at the work-list level; file_limit
+    # (_bin_all_reduced_s3_logs_by_object_key.py:56) caps how many day
+    # partitions one bin run consumes; dandiset_limit
+    # (_map_binned_s3_logs_to_dandisets.py:76) maps only the first N
+    # dandisets (sorted) — useful for incremental/debug runs
+    excluded_years: tuple[int, ...] = ()
+    file_limit: int | None = None
+    dandiset_limit: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -135,6 +145,8 @@ def run_reduce_stage(
     """
     day = cfg.day_col
     all_days = discover_days(pages, "warc_ts") if days is None else sorted(days)
+    if cfg.excluded_years:
+        all_days = [d for d in all_days if int(d[:4]) not in cfg.excluded_years]
     pages = pages.withColumn(day, F.date_format("warc_ts", "yyyy-MM-dd"))
     days = lineage.pending("reduce", all_days) if resume else all_days
     if not days:
@@ -166,6 +178,11 @@ def run_reduce_stage(
         )
 
     with_header = with_header_and_text(batch)
+    # tz metric flag (P9): computed pre-parse, observed below, dropped
+    # before the write — a counter, never a filter
+    from ..operators.reduce import tz_nonstandard
+
+    with_header = with_header.withColumn("_tz_nonstd", tz_nonstandard(F.col("header")))
     parsed = parse_and_filter_log_lines(
         with_header,
         "header",
@@ -173,7 +190,7 @@ def run_reduce_stage(
         excluded_ips=excluded_ips,
         key_parents=cfg.key_parents,
         truncate_zarr=cfg.truncate_zarr,
-        passthrough=("url", day),
+        passthrough=("url", day, "_tz_nonstd"),
     )
     # ONE scan, ONE write: ok rows and error rows land in the same
     # day-partitioned table under an `rclass` partition column (writing
@@ -202,6 +219,7 @@ def run_reduce_stage(
         "parse_status",
         day,
         "rclass",
+        "_tz_nonstd",
     )
     # rows_out per day rides the write action itself via observe() — no
     # post-write re-scan of the output.  The CollectMetrics node sits
@@ -221,9 +239,20 @@ def run_reduce_stage(
         ]
     else:
         metric_cols = [F.count(F.when(F.col("rclass") == "ok", 1)).alias("_total_ok")]
+    metric_cols.append(F.count(F.when(F.col("_tz_nonstd"), 1)).alias("_tz_warn"))
     full = full.observe(obs, *metric_cols)
-    out = full.filter(F.col("rclass").isNotNull())
+    out = full.filter(F.col("rclass").isNotNull()).drop("_tz_nonstd")
     catalog.write(out, "reduced", partition_by=(day, "rclass"), mode="overwrite")
+    tz_warn = obs.get.get("_tz_warn", 0)
+    if tz_warn:
+        import warnings
+
+        warnings.warn(
+            f"{tz_warn} rows carry a non-+0000 timestamp zone "
+            "(kept; zone dropped — reference _s3_log_file_reducer.py:265-270)",
+            stacklevel=2,
+        )
+        lineage.record(run_id, "reduce_tz_warn", [("ALL", None, tz_warn)])
     if len(days) <= 64:
         rows_out = obs.get
     else:
@@ -260,6 +289,10 @@ def run_bin_stage(
     reduce_rows = lineage.stage_rows_out("reduce")
     reduce_done = sorted(reduce_rows)
     days = lineage.pending("bin", reduce_done) if resume else reduce_done
+    if cfg.file_limit is not None:
+        # reference file_limit: cap the work one bin run consumes; the
+        # remainder stays pending and the next run picks it up (resume)
+        days = days[: cfg.file_limit]
     if not days:
         return []
     # `day` is a partition column of `reduced` — it reads back for free,
@@ -300,6 +333,20 @@ def run_map_stage(
     """
     from pyspark import StorageLevel
     from pyspark.sql import Observation
+
+    if cfg.dandiset_limit is not None:
+        # reference dandiset_limit: map only the first N dandisets
+        # (sorted).  The asset table is a dimension, so the distinct id
+        # list is tiny and driver-side by design.
+        ids = [
+            r["dandiset_id"]
+            for r in assets.select("dandiset_id")
+            .distinct()
+            .orderBy("dandiset_id")
+            .limit(cfg.dandiset_limit)
+            .collect()
+        ]
+        assets = assets.filter(F.col("dandiset_id").isin(ids))
 
     binned = catalog.read("binned")
     # the enrich chain (hash + broadcast joins over the full fact) feeds

@@ -299,3 +299,97 @@ def test_lineage_inprogress_files_are_hidden(spark, tmp_path):
     lineage.record("r2", "reduce", [("2024-01-02", 5, 5)])
     assert not stale.exists()
     assert lineage.read().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# reference work-limiting knobs + tz warn metric
+# ---------------------------------------------------------------------------
+
+
+def test_excluded_years_skips_whole_years(spark, pages_parquet, tmp_path):
+    path, dims = pages_parquet
+    pages = spark.read.parquet(path)
+    catalog = Catalog(spark, tmp_path / "wh")
+    days = run_reduce_stage(
+        spark, catalog, pages, PipelineConfig(excluded_years=(2024,)),
+        LineageLog(catalog), "r-ex",
+    )
+    assert days == []  # all synthetic days are in 2024
+
+
+def test_bin_file_limit_caps_one_run_and_resumes(spark, pages_parquet, tmp_path):
+    from dandi_s3_log_parser_spark.plans.pipeline import run_bin_stage
+
+    path, dims = pages_parquet
+    pages = spark.read.parquet(path)
+    catalog = Catalog(spark, tmp_path / "wh")
+    lineage = LineageLog(catalog)
+    cfg = PipelineConfig(file_limit=2)
+    all_days = run_reduce_stage(spark, catalog, pages, cfg, lineage, "r")
+    done1 = run_bin_stage(spark, catalog, cfg, lineage, "b1")
+    assert len(done1) == 2
+    done2 = run_bin_stage(spark, catalog, cfg, lineage, "b2")
+    assert len(done2) == 2 and set(done1).isdisjoint(done2)
+    rest = run_bin_stage(spark, catalog, PipelineConfig(), lineage, "b3")
+    assert sorted(done1 + done2 + rest) == all_days
+
+
+def test_dandiset_limit_restricts_map(spark, tmp_path):
+    from dandi_s3_log_parser_spark.plans.pipeline import run_pipeline
+
+    tables = generate(400, seed=11)
+    pages, dims = to_spark(spark, tables)
+    catalog = Catalog(spark, tmp_path / "wh")
+    run_pipeline(
+        spark, catalog, pages, dims, PipelineConfig(dandiset_limit=1), "r-lim"
+    )
+    got = {
+        r["dandiset_id"]
+        for r in catalog.read("dandiset_summary_by_day").select("dandiset_id").distinct().collect()
+    }
+    want_first = min(
+        r["dandiset_id"] for r in dims["assets"].select("dandiset_id").distinct().collect()
+    )
+    assert got == {want_first}
+
+
+def test_tz_warn_metric_counts_but_keeps_rows(spark, tmp_path):
+    import warnings as _w
+
+    tables = generate(200, seed=9)
+    # rewrite a few headers with a +0200 zone (still parseable)
+    pdf = tables.pages.copy()
+    n_twisted = 0
+    htmls = []
+    for i, b in enumerate(pdf["html"]):
+        if i < 5:
+            htmls.append(b.replace(b" +0000]", b" +0200]", 1))
+            n_twisted += 1
+        else:
+            htmls.append(b)
+    pdf["html"] = htmls
+    tables.pages = pdf
+    pages, dims = to_spark(spark, tables)
+    catalog = Catalog(spark, tmp_path / "wh")
+    lineage = LineageLog(catalog)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        run_reduce_stage(
+            spark, catalog, pages, PipelineConfig(), lineage, "r-tz",
+            excluded_ips=dims.get("excluded_ips"),
+        )
+    assert any("non-+0000" in str(w.message) for w in caught)
+    warn_rows = lineage.read().filter(F.col("stage") == "reduce_tz_warn").collect()
+    assert len(warn_rows) == 1 and warn_rows[0]["rows_out"] == n_twisted
+    # rows with the odd zone are KEPT (counter, not filter): total reduced
+    # rows equal a run on the unmodified pages
+    clean_tables = generate(200, seed=9)
+    clean_pages, _ = to_spark(spark, clean_tables)
+    cat2 = Catalog(spark, tmp_path / "wh_clean")
+    run_reduce_stage(
+        spark, cat2, clean_pages, PipelineConfig(), LineageLog(cat2), "r-clean",
+        excluded_ips=dims.get("excluded_ips"),
+    )
+    n_tz = catalog.read("reduced").count()
+    n_clean = cat2.read("reduced").count()
+    assert n_tz == n_clean
