@@ -412,6 +412,21 @@ def q_simhash_near_dup(spark, sf):
     return simhash_near_dup_pairs(d, max_hamming=3, token_hash=md5_token_hash_60)
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over the MinHash near-dup pairs (the keep/
+    drop unit of a real dedup pipeline).  Oracle: recursive-CTE
+    transitive closure over the same exact-Jaccard pair set, min id per
+    component."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_dedup,
+    )
+
+    d = _load(spark, sf, "documents")
+    pairs = minhash_dedup(d, threshold=0.5).select("id_a", "id_b")
+    return dedup_clusters(pairs)
+
+
 def q_lsh_ann_topk(spark, sf):
     """Hyperplane-LSH ANN top-k.  ANN output is approximate, so the
     oracle is a per-emitted-row soundness check: the returned pairs are
@@ -563,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -905,6 +921,33 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+        """,
+        # connected components via recursive-CTE transitive closure over
+        # the exact near-dup pair set; min reachable id per node
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len({toks_lower}) - 1, 1)),
+                           i -> {toks_lower}[i] || ' ' || {toks_lower}[i+1]
+                                || ' ' || {toks_lower}[i+2]
+                       )) AS grams
+                FROM documents
+                WHERE len({toks_lower}) >= 3
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT DISTINCT a AS id, a AS r FROM edges
+                UNION
+                SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
         """,
         # full simhash rebuild in SQL: md5-60bit token hashes, 60
         # bit-vote aggregates, all-pairs hamming <= 3 (the Spark side's

@@ -254,6 +254,67 @@ def minhash_dedup(
     return out
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs:
+    (doc id -> cluster id), cluster id = min doc id in the component.
+
+    The step after pair generation in a real dedup pipeline — pairs are
+    not transitive ((a,b) and (b,c) pairs must collapse into one keep
+    decision), so components, not pairs, are the dedup unit.
+
+    Algorithm: hash-min label propagation (the standard Spark CC
+    formulation; GraphX/GraphFrames does the same under the hood):
+    every node starts labeled with its own id; each round a node takes
+    the min of its label and its neighbors' labels; converged when no
+    label changes.  Rounds needed = component diameter — near-dup
+    clusters are dense and tiny, so 2-4 rounds in practice
+    (``max_iter`` bounds pathological chains).
+
+    Scale design: state is one narrow (id, label) table and the edge
+    list; each round is one shuffle join + groupBy-min.  Lineage is
+    truncated every round with ``localCheckpoint`` (iterative plans
+    otherwise grow exponentially), and convergence is a driver-side
+    scalar count — never a collect of the labels.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

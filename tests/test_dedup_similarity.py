@@ -125,3 +125,15 @@ def test_ivf_ann_recall_and_determinism(spark, vectors):
     # deterministic across repartitioned inputs (order-by-hash sample)
     ann2 = ivf_topk(vectors.repartition(7), queries, **kw).collect()
     assert sorted(map(tuple, ann)) == sorted(map(tuple, ann2))
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from dandi_s3_log_parser_spark.operators.dedup import dedup_clusters
+
+    # chain 7-3, 3-9 must collapse into one component labeled min=3;
+    # isolated pair 20-21 labels 20
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20}
