@@ -469,6 +469,87 @@ def q_ivf_ann_topk(spark, sf):
     return out
 
 
+def q_repetition_metrics(spark, sf):
+    """Gopher-style duplicate-line metrics per document.
+
+    The synthetic corpus is single-line word soup, so to exercise the
+    metric non-degenerately the query first re-chunks each text into
+    2-token "lines" (deterministic, replicated exactly in the oracle);
+    ~36% of documents then contain duplicated lines."""
+    from dandi_s3_log_parser_spark.operators.curation import repetition_metrics
+
+    d = _load(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    # guard: sequence(0, -1) would DESCEND for empty docs
+    chunk_lines = F.when(F.size(toks) == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.ceil(F.size(toks) / F.lit(2.0)) - 1).cast("int"),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * 2 + 1, 2)),
+            ),
+            "\n",
+        )
+    )
+    chunked = d.select("doc_id", chunk_lines.alias("text"))
+    return repetition_metrics(chunked)
+
+
+def q_top_bigram_fraction(spark, sf):
+    """Gopher top-2-gram boilerplate fraction per document."""
+    from dandi_s3_log_parser_spark.operators.curation import top_bigram_fraction
+
+    return top_bigram_fraction(_load(spark, sf, "documents"))
+
+
+def q_hash_split(spark, sf):
+    """Deterministic md5-bucket train/val/test split, verified through
+    the per-split document and char totals (any per-row assignment
+    flip shifts the aggregate)."""
+    from dandi_s3_log_parser_spark.operators.curation import hash_split
+
+    d = hash_split(_load(spark, sf, "documents"))
+    return d.groupBy("split").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+def q_source_stats(spark, sf):
+    """Per-source corpus stats with a blocklist filter (the curation
+    analog of the reference's excluded-IP reducer filter,
+    _s3_log_file_reducer.py:211-214)."""
+    from dandi_s3_log_parser_spark.operators.curation import source_stats
+
+    return source_stats(
+        _load(spark, sf, "documents"), blocklist=("src13", "src7")
+    )
+
+
+def q_pack_sequences(spark, sf):
+    """Token-budget sequence packing (md5 bucketing so the DuckDB
+    oracle reproduces the identical pack assignment)."""
+    from dandi_s3_log_parser_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        _load(spark, sf, "documents"), budget=512, buckets=8, bucket_fn="md5"
+    )
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization over the events stream (720-min gap:
+    the corpus' median per-user gap is ~440 min, so sessions mix
+    multi-event runs and singletons)."""
+    from dandi_s3_log_parser_spark.operators.sessionize import session_stats
+
+    return session_stats(
+        _load(spark, sf, "events"), key_col="user_id", ts_col="ts",
+        gap_minutes=720,
+    )
+
+
 def _publish_pipeline_inputs(tables) -> None:
     """Dump the deterministic synthetic pipeline inputs for the SQL
     oracle: pages + dimension tables, plus (ip, sha1-hash) computed with
@@ -584,6 +665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "pages_pipeline": q_pages_pipeline,
         "multimodal_decode": q_multimodal_decode,
+        "repetition_metrics": q_repetition_metrics,
+        "top_bigram_fraction": q_top_bigram_fraction,
+        "hash_split": q_hash_split,
+        "source_stats": q_source_stats,
+        "pack_sequences": q_pack_sequences,
+        "sessionize": q_sessionize,
     }
 
 
@@ -991,5 +1078,144 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS duration_ms,
                    1 AS n_frames
             FROM read_parquet('{_exchange_path("multimodal_media")}')
+        """,
+        # Gopher duplicate-line rules: explode lines, count per (doc,
+        # line), aggregate; docs with no non-empty lines report zeros.
+        # "Lines" = 2-token chunks (mirrors the query's re-chunking).
+        "repetition_metrics": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKENS.format(col="text")} AS toks
+                FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           list_transform(
+                               range(1, CAST(ceil(len(toks) / 2.0) AS INT) + 1),
+                               i -> array_to_string(
+                                   toks[(i-1)*2+1 : i*2], ' ')
+                           ), x -> x <> '')) AS line
+                FROM t
+            ), per_line AS (
+                SELECT doc_id, line, count(*) AS cnt
+                FROM lines GROUP BY doc_id, line
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(sum(cnt) AS BIGINT) AS line_count,
+                       count(*) AS distinct_lines,
+                       sum(len(line) * cnt) AS total_chars,
+                       sum(CASE WHEN cnt > 1 THEN len(line) * cnt
+                                ELSE 0 END) AS dup_chars
+                FROM per_line GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.line_count, 0) AS line_count,
+                   round(coalesce(
+                       1.0 - CAST(a.distinct_lines AS DOUBLE) / a.line_count,
+                       0.0), 6) AS dup_line_frac,
+                   round(coalesce(
+                       CASE WHEN a.total_chars > 0
+                            THEN CAST(a.dup_chars AS DOUBLE) / a.total_chars
+                            ELSE 0.0 END, 0.0), 6) AS dup_line_char_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # Gopher top-2-gram fraction: adjacent lowercase token pairs
+        "top_bigram_fraction": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len({toks_lower}), 1)),
+                           i -> {toks_lower}[i] || ' ' || {toks_lower}[i+1]
+                       )) AS bigram
+                FROM documents
+                WHERE len({toks_lower}) >= 2
+            ), per_bigram AS (
+                SELECT doc_id, bigram, count(*) AS cnt
+                FROM b GROUP BY doc_id, bigram
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(sum(cnt) AS BIGINT) AS bigram_count,
+                       max(cnt) AS top_cnt
+                FROM per_bigram GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.bigram_count, 0) AS bigram_count,
+                   round(coalesce(
+                       CAST(a.top_cnt AS DOUBLE) / a.bigram_count, 0.0),
+                       6) AS top_bigram_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # md5-bucket split: identical md5 text bytes in both engines
+        "hash_split": """
+            SELECT CASE
+                     WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                   1, 4)) AS INTEGER) % 100 < 90
+                       THEN 'train'
+                     WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                   1, 4)) AS INTEGER) % 100 < 95
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   count(*) AS docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY 1
+        """,
+        # per-source stats minus blocklist (excluded-IP filter analog)
+        "source_stats": f"""
+            SELECT source,
+                   count(*) AS docs,
+                   CAST(sum(len({{toks}})) AS BIGINT) AS total_tokens,
+                   round(avg(len(text)), 4) AS avg_chars
+            FROM documents
+            WHERE source NOT IN ('src13', 'src7')
+            GROUP BY source ORDER BY source
+        """.format(toks=_TOKENS.format(col="text")),
+        # token-budget packing: same md5 bucket, same cumulative-sum
+        # binning, one row per (bucket, seq_id) pack
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 4)) AS INTEGER) % 8 AS bucket,
+                       len({toks}) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT bucket, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT bucket,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+                   count(*) AS docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens
+            FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id
+        """.format(toks=_TOKENS.format(col="text")),
+        # gap sessionization: lag -> flag -> running-sum ordinal ->
+        # per-session aggregate; interval arithmetic is exact
+        # microseconds in both engines
+        "sessionize": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts > lag(ts) OVER w
+                                         + INTERVAL 720 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s2 AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1
+                           AS session_id
+                FROM s
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%dT%H:%M:%S.%f')
+                       AS session_start,
+                   strftime(max(ts), '%Y-%m-%dT%H:%M:%S.%f')
+                       AS session_end
+            FROM s2 GROUP BY user_id, session_id
         """,
     }

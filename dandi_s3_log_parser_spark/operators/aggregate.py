@@ -39,7 +39,20 @@ def join_assets(binned: DataFrame, assets: DataFrame) -> DataFrame:
 
 def mapped_per_asset(activity: DataFrame) -> DataFrame:
     """Per-asset activity log with a deterministic 0-based row index
-    (row_number over timestamp within asset — SURVEY §2.5)."""
+    (row_number over timestamp within asset — SURVEY §2.5).
+
+    Skew note (100x scale): the output contract requires a global
+    per-asset order, so a hot asset (the reference's 000108-style
+    dandiset) funnels its whole history into one window task.  The
+    mitigation when a single asset outgrows a task is a two-phase
+    rank: range-repartition within the asset by timestamp, number
+    rows per range partition, then add per-partition offsets computed
+    from partition counts (a tiny driver-side prefix sum over
+    #partitions integers — not rows).  Not wired here because the
+    per-asset sink write (`write_mapped_tsv`) already consumes the
+    window output partition-by-partition and no sf tested comes near
+    task-memory limits; the plan documents the escape hatch.
+    """
     w = Window.partitionBy("dandiset_id", "version_id", "asset_path").orderBy(
         "timestamp", "ip_address", "bytes_sent"
     )

@@ -1,0 +1,282 @@
+"""Training-data curation operators: repetition metrics, deterministic
+splits, source-level stats, and token-budget sequence packing.
+
+These are the document-corpus counterparts of the reference's per-asset
+summary stage (``_map_binned_s3_logs_to_dandisets.py`` aggregates per
+key; here the key is the document / source / split) — the operations a
+pretraining-data pipeline runs between raw text and tokenized batches:
+
+- Gopher-style repetition rules (duplicate-line fraction, duplicated-
+  line character fraction, top-bigram fraction) used to drop boilerplate
+  and machine-generated pages;
+- a deterministic content-hash train/val/test split (md5-bucket, so the
+  assignment is stable across runs, partitionings, and engines);
+- per-source corpus stats with a blocklist anti-join (the curation
+  analog of the reference's excluded-IP filter);
+- sequence packing: greedy token-budget binning of documents into
+  fixed-size training sequences.
+
+Scale notes (10^12 docs): every operator here shuffles narrow rows only
+(ids, 64-bit hashes, counts — never full text except the per-line
+explode in the repetition metrics, whose shuffle key is (doc_id) so it
+partitions perfectly and carries each byte exactly once); packing uses
+a hash-bucketed window so no single task sees more than one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicate-line metrics (Gopher repetition rules).
+
+    Returns ``(doc_id, line_count, dup_line_frac, dup_line_char_frac)``:
+
+    - ``dup_line_frac``   = 1 - distinct_lines / total_lines
+    - ``dup_line_char_frac`` = chars in lines occurring >1 time / chars
+
+    Plan: split on newline, explode, count per (doc, line), aggregate
+    back per doc.  The explode→groupBy shuffle is keyed on (doc_id,
+    line) so hot documents spread over their distinct lines; the final
+    per-doc aggregate carries four longs per document.  Documents with
+    no non-empty lines report 0 for both fractions.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+        ).alias("line"),
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))
+    agg = per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("line_count"),
+        F.count("*").alias("distinct_lines"),
+        F.sum(F.length("line") * F.col("cnt")).alias("total_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.length("line") * F.col("cnt")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    out = agg.select(
+        F.col(id_col),
+        F.col("line_count"),
+        F.round(
+            1.0 - F.col("distinct_lines") / F.col("line_count"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(
+                F.col("total_chars") > 0,
+                F.col("dup_chars") / F.col("total_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    # docs whose text has no non-empty lines drop out of the explode;
+    # restore them with zero metrics so the operator is total
+    empties = docs.select(F.col(id_col)).join(
+        agg.select(id_col), on=id_col, how="left_anti"
+    )
+    return out.unionByName(
+        empties.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("line_count"),
+            F.lit(0.0).alias("dup_line_frac"),
+            F.lit(0.0).alias("dup_line_char_frac"),
+        )
+    )
+
+
+def top_bigram_fraction(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fraction of word-bigram occurrences taken by the most frequent
+    bigram per document (Gopher ``top-2-gram`` boilerplate rule).
+
+    Returns ``(doc_id, bigram_count, top_bigram_frac)``; documents with
+    fewer than 2 tokens report ``(0, 0.0)``.
+
+    Plan: lowercase-tokenize natively, zip adjacent tokens into bigram
+    strings with ``zip_with`` (no Python), explode, count per (doc,
+    bigram), take max/sum per doc.  Shuffle keys are (doc_id, bigram)
+    then doc_id — narrow rows, perfectly partitionable.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    exploded = docs.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    per_bigram = exploded.groupBy(id_col, "bigram").agg(F.count("*").alias("cnt"))
+    agg = per_bigram.groupBy(id_col).agg(
+        F.sum("cnt").alias("bigram_count"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    out = agg.select(
+        F.col(id_col),
+        F.col("bigram_count"),
+        F.round(F.col("top_cnt") / F.col("bigram_count"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+    empties = docs.select(F.col(id_col)).join(
+        agg.select(id_col), on=id_col, how="left_anti"
+    )
+    return out.unionByName(
+        empties.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("bigram_count"),
+            F.lit(0.0).alias("top_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split
+# ---------------------------------------------------------------------------
+
+
+def hash_split(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Assign each document a deterministic train/val/test split.
+
+    Bucket = first 4 hex digits of ``md5(cast(id))`` mod 100 — a pure
+    function of the id, so the assignment is reproducible across runs,
+    engines (DuckDB computes the identical md5), partitionings, and
+    cluster sizes; held-out docs stay held out forever.  No shuffle at
+    all: this is a projection.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)
+
+
+# ---------------------------------------------------------------------------
+# Per-source stats with blocklist
+# ---------------------------------------------------------------------------
+
+
+def source_stats(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-source corpus stats after dropping blocklisted sources.
+
+    The curation analog of the reference's excluded-IP filter
+    (``_s3_log_file_reducer.py``: drop rows whose ip is in the exclusion
+    list, then aggregate): filter on a tiny in-memory set, then one
+    hash aggregate keyed on source.  The blocklist is a literal isin
+    (never a join) — it is configuration, not data.
+    """
+    from .. import functions  # noqa: F401  (package layout)
+    from ..functions.text import token_count
+
+    kept = docs
+    if blocklist:
+        kept = kept.filter(~F.col(source_col).isin(*blocklist))
+    return (
+        kept.groupBy(source_col)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(token_count(F.col(text_col))).alias("total_tokens"),
+            F.round(F.avg(F.length(text_col)), 4).alias("avg_chars"),
+        )
+        .orderBy(source_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    buckets: int = 64,
+    bucket_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    Each document lands in a pack ``(bucket, seq_id)`` such that packs
+    are filled greedily in deterministic id order: within a hash bucket,
+    docs are ordered by id and a running token total is binned every
+    ``budget`` tokens (a document longer than the budget gets a bin of
+    its own by construction of the cumulative sum).
+
+    Scale design: a single global greedy pack would serialize on one
+    task, so packing is bucketed by ``xxhash64(id) % buckets`` — the
+    standard trick for embarrassingly parallel packing; each bucket is
+    an independent window partition, so parallelism = ``buckets`` and
+    no task ever holds more than ~1/buckets of the corpus.  At 10^12
+    docs you raise ``buckets`` to O(cores); pack quality (fill ratio)
+    is unaffected because token counts are iid across hash buckets.
+
+    Returns one row per pack: ``(bucket, seq_id, docs, tokens)``.
+
+    ``bucket_fn`` picks the id→bucket hash: ``"xxhash64"`` (default,
+    cheapest) or ``"md5"`` (bit-identical in other engines — DuckDB has
+    no xxhash64, so the cross-engine oracle uses the md5 bucketing).
+    """
+    from ..functions.text import token_count
+
+    if bucket_fn == "md5":
+        raw = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("int")
+    else:
+        raw = F.xxhash64(F.col(id_col).cast("string"))
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    packed = (
+        docs.select(
+            F.col(id_col),
+            F.pmod(raw, F.lit(buckets)).cast("int").alias("bucket"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        # bin by the cumulative total *before* this doc, so a doc that
+        # crosses a boundary still joins the pack it started in
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget)).cast(
+                "long"
+            ),
+        )
+    )
+    return (
+        packed.groupBy("bucket", "seq_id")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+        .orderBy("bucket", "seq_id")
+    )

@@ -1,0 +1,92 @@
+"""Curation operators: repetition metrics, hash split, source stats,
+sequence packing.
+
+Tiny hand-built corpora with hand-computed expectations; the sf0.01
+DuckDB parity gate covers the same operators at corpus scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dandi_s3_log_parser_spark.operators.curation import (
+    hash_split,
+    pack_sequences,
+    repetition_metrics,
+    source_stats,
+    top_bigram_fraction,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 4 lines, "dup dup" twice: dup_line_frac = 1 - 3/4
+        (1, "a b\ndup dup\nc d\ndup dup", "en", "s1"),
+        (2, "unique one\nunique two", "en", "s1"),
+        (3, "", "en", "s2"),  # empty -> zeros
+        (4, "x y x y x y x z", "de", "s2"),  # top bigram "x y" 3/7
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_repetition_metrics_hand_computed(docs):
+    got = {
+        r["doc_id"]: r for r in repetition_metrics(docs).collect()
+    }
+    assert got[1]["line_count"] == 4
+    assert got[1]["dup_line_frac"] == pytest.approx(0.25)
+    # dup chars: "dup dup" (7 chars) * 2 = 14 of 3+7+3+7=20 total
+    assert got[1]["dup_line_char_frac"] == pytest.approx(0.7)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["line_count"] == 0
+    assert got[3]["dup_line_frac"] == 0.0
+    assert len(got) == 4  # total operator: empty doc restored
+
+
+def test_top_bigram_fraction_hand_computed(docs):
+    got = {r["doc_id"]: r for r in top_bigram_fraction(docs).collect()}
+    # doc 4 tokens: x y x y x y x z -> 7 bigrams, "x y" occurs 3x
+    assert got[4]["bigram_count"] == 7
+    assert got[4]["top_bigram_frac"] == pytest.approx(3 / 7, abs=1e-6)
+    assert got[3]["bigram_count"] == 0
+
+
+def test_hash_split_deterministic_and_total(spark):
+    d = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s1 = hash_split(d).groupBy("split").count().collect()
+    s2 = hash_split(d.repartition(7)).groupBy("split").count().collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    counts = dict(map(tuple, s1))
+    assert sum(counts.values()) == 1000
+    # 90/5/5 within loose tolerance on 1000 md5 buckets
+    assert 850 <= counts["train"] <= 950
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_source_stats_blocklist(docs):
+    out = source_stats(docs, blocklist=("s2",)).collect()
+    assert [r["source"] for r in out] == ["s1"]
+    assert out[0]["docs"] == 2
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    # 100 docs x 10 tokens, budget 25 -> each pack gets 2-3 docs
+    d = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[F.lit(f"t{i}") for i in range(10)]).alias("text"),
+    )
+    packs = pack_sequences(d, budget=25, buckets=4, bucket_fn="md5").collect()
+    assert sum(p["docs"] for p in packs) == 100
+    assert sum(p["tokens"] for p in packs) == 1000
+    # no pack except possibly each bucket's last exceeds budget by more
+    # than one doc's tokens (greedy bound: tokens < budget + max_doc)
+    assert all(p["tokens"] < 25 + 10 for p in packs)
+    # deterministic under repartitioning
+    packs2 = pack_sequences(
+        d.repartition(13), budget=25, buckets=4, bucket_fn="md5"
+    ).collect()
+    assert sorted(map(tuple, packs)) == sorted(map(tuple, packs2))
