@@ -67,32 +67,29 @@ def repetition_metrics(
             F.when(F.col("cnt") > 1, F.length("line") * F.col("cnt")).otherwise(0)
         ).alias("dup_chars"),
     )
-    out = agg.select(
-        F.col(id_col),
-        F.col("line_count"),
-        F.round(
-            1.0 - F.col("distinct_lines") / F.col("line_count"), 6
-        ).alias("dup_line_frac"),
-        F.round(
-            F.when(
-                F.col("total_chars") > 0,
-                F.col("dup_chars") / F.col("total_chars"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_line_char_frac"),
-    )
     # docs whose text has no non-empty lines drop out of the explode;
-    # restore them with zero metrics so the operator is total
-    empties = docs.select(F.col(id_col)).join(
-        agg.select(id_col), on=id_col, how="left_anti"
-    )
-    return out.unionByName(
-        empties.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("line_count"),
-            F.lit(0.0).alias("dup_line_frac"),
-            F.lit(0.0).alias("dup_line_char_frac"),
-        )
+    # a left join from the (column-pruned) id list restores them with
+    # zero metrics.  NOT an anti-join + union: that would reference the
+    # agg subtree twice and Spark would recompute the whole
+    # explode→groupBy pass — the expensive full-text scan — once per
+    # reference.
+    return docs.select(F.col(id_col)).join(agg, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce("line_count", F.lit(0)).alias("line_count"),
+        F.coalesce(
+            F.round(1.0 - F.col("distinct_lines") / F.col("line_count"), 6),
+            F.lit(0.0),
+        ).alias("dup_line_frac"),
+        F.coalesce(
+            F.round(
+                F.when(
+                    F.col("total_chars") > 0,
+                    F.col("dup_chars") / F.col("total_chars"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("dup_line_char_frac"),
     )
 
 
@@ -125,22 +122,14 @@ def top_bigram_fraction(
         F.sum("cnt").alias("bigram_count"),
         F.max("cnt").alias("top_cnt"),
     )
-    out = agg.select(
+    # left-join restore of <2-token docs (see repetition_metrics on why
+    # not anti-join + union)
+    return docs.select(F.col(id_col)).join(agg, on=id_col, how="left").select(
         F.col(id_col),
-        F.col("bigram_count"),
-        F.round(F.col("top_cnt") / F.col("bigram_count"), 6).alias(
-            "top_bigram_frac"
-        ),
-    )
-    empties = docs.select(F.col(id_col)).join(
-        agg.select(id_col), on=id_col, how="left_anti"
-    )
-    return out.unionByName(
-        empties.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("bigram_count"),
-            F.lit(0.0).alias("top_bigram_frac"),
-        )
+        F.coalesce("bigram_count", F.lit(0)).alias("bigram_count"),
+        F.coalesce(
+            F.round(F.col("top_cnt") / F.col("bigram_count"), 6), F.lit(0.0)
+        ).alias("top_bigram_frac"),
     )
 
 
