@@ -94,6 +94,10 @@ HEADLINE_QUERIES = (
     "cosine_topk",
     "lsh_ann_topk",
     "hourly_window",
+    "sessionize",
+    "repetition_metrics",
+    "pack_sequences",
+    "dedup_clusters",
 )
 
 

@@ -30,15 +30,37 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REPO = Path(__file__).resolve().parent
 
 
-def run_worker(cpus: int, n_pages: int, trials: int = 2, wh_root: str = None) -> dict:
+def run_worker(
+    cpus: int, n_pages: int, trials: int = 2, wh_root: str = None,
+    stage: str = "all",
+) -> dict:
     from bench import _ensure_bench_pages
-    from dandi_s3_log_parser_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from dandi_s3_log_parser_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+        run_reduce_stage,
+    )
+    from dandi_s3_log_parser_spark.plans.lineage import LineageLog
     from dandi_s3_log_parser_spark.session import get_spark
     from dandi_s3_log_parser_spark.sources.tables import Catalog
     import shutil
 
     spark = get_spark(f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
     pages, dims = _ensure_bench_pages(spark, n_pages)
+
+    def one_pass(wh):
+        catalog = Catalog(spark, wh)
+        if stage == "reduce":
+            run_reduce_stage(
+                spark, catalog, pages, PipelineConfig(),
+                LineageLog(catalog, "lineage"), f"scale-{cpus}",
+                resume=False,
+            )
+        else:
+            run_pipeline(
+                spark, catalog, pages, dims, PipelineConfig(),
+                f"scale-{cpus}", resume=False,
+            )
     # warm-up: one FULL pipeline pass (JIT, codegen cache, Python UDF
     # worker pool, OS page cache), identical for both levels.  The
     # measured pass is steady-state throughput — the regime that matters
@@ -47,10 +69,7 @@ def run_worker(cpus: int, n_pages: int, trials: int = 2, wh_root: str = None) ->
     root = Path(wh_root) if wh_root else (REPO / "_work")
     wh_warm = root / f"scale_wh_{cpus}_warm"
     shutil.rmtree(wh_warm, ignore_errors=True)
-    run_pipeline(
-        spark, Catalog(spark, wh_warm), pages, dims, PipelineConfig(),
-        f"warm-{cpus}", resume=False,
-    )
+    one_pass(wh_warm)
     # several measured passes, best taken: this sandbox shares the box
     # with an external workload (load spikes of 5-15), and min-of-K is
     # the standard way to estimate intrinsic cost under noise
@@ -58,12 +77,8 @@ def run_worker(cpus: int, n_pages: int, trials: int = 2, wh_root: str = None) ->
     for trial in range(trials):
         wh = root / f"scale_wh_{cpus}"
         shutil.rmtree(wh, ignore_errors=True)
-        catalog = Catalog(spark, wh)
         t0 = time.perf_counter()
-        run_pipeline(
-            spark, catalog, pages, dims, PipelineConfig(),
-            f"scale-{cpus}-{trial}", resume=False,
-        )
+        one_pass(wh)
         secs.append(round(time.perf_counter() - t0, 3))
     shutil.rmtree(wh_warm, ignore_errors=True)
     shutil.rmtree(wh, ignore_errors=True)
@@ -87,10 +102,15 @@ def main() -> None:
                     help="output warehouse location; tmpfs by default so sink "
                          "bandwidth models cluster storage (one local disk does "
                          "not scale with executors the way S3/HDFS does)")
+    ap.add_argument("--stage", type=str, default="all", choices=("all", "reduce"),
+                    help="'reduce' measures the parse/filter/write stage alone "
+                         "(per-stage scaling decomposition for BENCH.md)")
     args = ap.parse_args()
 
     if args.worker_cpus:
-        print("WORKER_RESULT " + json.dumps(run_worker(args.worker_cpus, args.pages, args.trials, args.warehouse_root)))
+        print("WORKER_RESULT " + json.dumps(run_worker(
+            args.worker_cpus, args.pages, args.trials, args.warehouse_root,
+            args.stage)))
         return
 
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -100,7 +120,8 @@ def main() -> None:
         out = subprocess.run(
             [sys.executable, __file__, "--worker-cpus", str(cpus),
              "--pages", str(args.pages), "--trials", str(args.trials),
-             "--warehouse-root", args.warehouse_root],
+             "--warehouse-root", args.warehouse_root,
+             "--stage", args.stage],
             capture_output=True,
             text=True,
             cwd=REPO,
@@ -116,13 +137,17 @@ def main() -> None:
     eff = (n4["docs_per_sec"] / n["docs_per_sec"]) / 4.0
     summary = {
         "pages": args.pages,
+        "stage": args.stage,
         f"local[{lo}]": n,
         f"local[{hi}]": n4,
         "scaling_efficiency_N_to_4N": round(eff, 3),
         "meets_north_rule_0.8": eff >= 0.8,
     }
     print(json.dumps(summary, indent=2))
-    (REPO / "_work" / "scaling_result.json").write_text(json.dumps(summary))
+    suffix = "" if args.stage == "all" else f"_{args.stage}"
+    (REPO / "_work" / f"scaling_result{suffix}.json").write_text(
+        json.dumps(summary)
+    )
 
 
 if __name__ == "__main__":
