@@ -37,33 +37,78 @@ def join_assets(binned: DataFrame, assets: DataFrame) -> DataFrame:
     return binned.join(dim, binned.object_key == dim.blob_key, "inner").drop("blob_key")
 
 
-def mapped_per_asset(activity: DataFrame) -> DataFrame:
+def mapped_per_asset(
+    activity: DataFrame, *, skew_bucket: str | None = "hour"
+) -> DataFrame:
     """Per-asset activity log with a deterministic 0-based row index
     (row_number over timestamp within asset — SURVEY §2.5).
 
-    Skew note (100x scale): the output contract requires a global
-    per-asset order, so a hot asset (the reference's 000108-style
-    dandiset) funnels its whole history into one window task.  The
-    mitigation when a single asset outgrows a task is a two-phase
-    rank: range-repartition within the asset by timestamp, number
-    rows per range partition, then add per-partition offsets computed
-    from partition counts (a tiny driver-side prefix sum over
-    #partitions integers — not rows).  Not wired here because the
-    per-asset sink write (`write_mapped_tsv`) already consumes the
-    window output partition-by-partition and no sf tested comes near
-    task-memory limits; the plan documents the escape hatch.
+    Skew design (this is the measured bottleneck, not a hypothetical):
+    the output contract is a global per-asset order, and a hot asset
+    (the reference's 000108-style dandiset; our synthetic corpus gives
+    one zarr key 46% of ALL binned rows) funnels its whole history into
+    one window task — a parallelism-independent floor that measured
+    ~60 s/pass at 24M pages and capped N→4N scaling efficiency at 0.75.
+
+    Fix: a **two-phase rank**.  Rows are bucketed by ``date_trunc``
+    of the timestamp (deterministic — unlike ``repartitionByRange``,
+    whose sampled boundaries can differ between the two jobs that
+    consume them); phase 1 numbers rows within (asset, bucket), phase 2
+    adds per-bucket offsets (a running sum over the tiny (asset,
+    bucket, count) table) via a broadcast join.  Time buckets partition
+    the sort order by construction — every row in hour h sorts before
+    every row in hour h+1, and equal timestamps always share a bucket
+    — so ``offset + local_rank`` IS the global row_number.  The hot
+    asset's task bound drops from its whole history to its hottest
+    hour (tune ``skew_bucket`` to ``"minute"`` at 100x).
+
+    ``skew_bucket=None`` keeps the single-window formulation (useful
+    for A/B and for inputs known to be skew-free).
     """
-    w = Window.partitionBy("dandiset_id", "version_id", "asset_path").orderBy(
-        "timestamp", "ip_address", "bytes_sent"
-    )
-    return activity.select(
+    keys = ["dandiset_id", "version_id", "asset_path"]
+    order = ["timestamp", "ip_address", "bytes_sent"]
+    out_cols = [
         "dandiset_id",
         "version_id",
         "asset_path",
-        (F.row_number().over(w) - 1).alias("index"),
+        F.col("index"),
         F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
         "bytes_sent",
         "region",
+    ]
+    if skew_bucket is None:
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return activity.withColumn("index", F.row_number().over(w) - 1).select(
+            *out_cols
+        )
+
+    bucketed = activity.withColumn(
+        "_bkt", F.date_trunc(skew_bucket, F.col("timestamp"))
+    )
+    w_local = Window.partitionBy(*keys, "_bkt").orderBy(*order)
+    local = bucketed.withColumn("_rn", F.row_number().over(w_local))
+    # tiny side table: one row per (asset, bucket); its shuffle carries
+    # counts, not history.  The running sum over buckets is a window on
+    # that tiny table.  No broadcast hint on the join back: the window
+    # output is already hash-partitioned on (keys, _bkt), so only the
+    # offsets side shuffles — and at 10^12 rows the (asset x bucket)
+    # table is NOT bounded, so a forced broadcast would be the exact
+    # 100x-scale OOM this engine removed from the ip-map join.
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        bucketed.groupBy(*keys, "_bkt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.sum("_cnt").over(w_off) - F.col("_cnt"))
+        .drop("_cnt")
+    )
+    return (
+        local.join(offsets, on=keys + ["_bkt"])
+        .withColumn("index", (F.col("_off") + F.col("_rn") - 1).cast("int"))
+        .select(*out_cols)
     )
 
 

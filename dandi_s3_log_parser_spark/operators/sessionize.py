@@ -20,8 +20,9 @@ Formulation (pure window functions, no Python, no self-join):
 Scale: the window shuffle partitions by key — the same partitioning the
 per-key sinks already need, so on the real pipeline this reuses the
 route exchange.  Skewed hot keys funnel one task each; the two-phase
-range-repartition mitigation documented in ``aggregate.mapped_per_asset``
-applies unchanged.
+time-bucketed rank implemented in ``aggregate.mapped_per_asset``
+applies unchanged (session flags only need lag(1), which the bucket
+boundary provides via the previous bucket's max ts).
 """
 
 from __future__ import annotations

@@ -393,3 +393,41 @@ def test_tz_warn_metric_counts_but_keeps_rows(spark, tmp_path):
     n_tz = catalog.read("reduced").count()
     n_clean = cat2.read("reduced").count()
     assert n_tz == n_clean
+
+
+def test_mapped_per_asset_two_phase_equals_single_window(spark):
+    """The skew-proof two-phase rank must produce EXACTLY the single-
+    window result, including on a hot key with in-hour and cross-hour
+    ties (the 46%-of-corpus zarr asset is the real-world shape)."""
+    import datetime as dt
+
+    from dandi_s3_log_parser_spark.operators.aggregate import mapped_per_asset
+
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    # hot asset: 500 rows over 6 hours incl. duplicate timestamps
+    for i in range(500):
+        ts = base + dt.timedelta(minutes=(i // 2) * 7)  # pairwise ties
+        rows.append(("d1", "v1", "hot", ts, f"ip{i % 9}", i % 50))
+    # cold assets
+    for i in range(20):
+        rows.append(("d1", "v1", f"cold{i % 3}", base + dt.timedelta(hours=i), "ip0", i))
+    activity = spark.createDataFrame(
+        rows,
+        "dandiset_id string, version_id string, asset_path string, "
+        "timestamp timestamp, ip_address string, bytes_sent long",
+    ).withColumn("region", F.lit("r1"))
+
+    a = mapped_per_asset(activity, skew_bucket="hour").toPandas()
+    b = mapped_per_asset(activity, skew_bucket=None).toPandas()
+    key = ["dandiset_id", "version_id", "asset_path", "index"]
+    import pandas
+
+    pandas.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
+    # dense 0-based per asset
+    hot = a[a.asset_path == "hot"]
+    assert sorted(hot["index"]) == list(range(500))
