@@ -538,6 +538,36 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_dedup_keep_policy(spark, sf):
+    """End-to-end dedup keep decision: MinHash pairs -> connected
+    components -> keep the highest-quality doc per cluster (ties to the
+    lowest id).  One row per near-dup cluster with the kept doc."""
+    from dandi_s3_log_parser_spark.functions.text import quality_score
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_dedup,
+    )
+
+    from pyspark.sql import Window
+
+    d = _load(spark, sf, "documents")
+    pairs = minhash_dedup(d, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    q = d.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("q"))
+    j = clusters.join(q, on="doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "kept_doc_id"
+            ),
+        )
+    )
+
+
 def q_sessionize(spark, sf):
     """Gap-based sessionization over the events stream (720-min gap:
     the corpus' median per-user gap is ~440 min, so sessions mix
@@ -671,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
+        "dedup_keep_policy": q_dedup_keep_policy,
     }
 
 
@@ -1190,6 +1221,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens
             FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id
         """.format(toks=_TOKENS.format(col="text")),
+        # dedup keep policy: transitive closure (as dedup_clusters) +
+        # quality recompute + per-cluster argmax (quality desc, id asc)
+        "dedup_keep_policy": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len({toks_lower}) - 1, 1)),
+                           i -> {toks_lower}[i] || ' ' || {toks_lower}[i+1]
+                                || ' ' || {toks_lower}[i+2]
+                       )) AS grams
+                FROM documents
+                WHERE len({toks_lower}) >= 3
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT DISTINCT a AS id, a AS r FROM edges
+                UNION
+                SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id
+            ), comp AS (
+                SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            ), q AS (
+                SELECT doc_id,
+                       round((least(length(text) / 500.0, 1.0)
+                         + least(CASE WHEN len({toks_lower}) > 0
+                               THEN len(list_filter({toks_lower},
+                                        x -> x IN ({_EN})))
+                                    / CAST(len({toks_lower}) AS DOUBLE)
+                               ELSE 0.0 END * 4.0, 1.0)
+                         + greatest(0.0, 1.0 - CASE WHEN length(text) > 0
+                             THEN (length(text) - length(regexp_replace(text,
+                                  '[^\\w\\s]', '', 'g')))
+                                  / CAST(length(text) AS DOUBLE)
+                             ELSE 0.0 END * 4.0)) / 3.0, 4) AS q
+                FROM documents
+            ), ranked AS (
+                SELECT comp.cluster_id, comp.doc_id, q.q,
+                       row_number() OVER (PARTITION BY comp.cluster_id
+                           ORDER BY q.q DESC, comp.doc_id ASC) AS rk
+                FROM comp JOIN q USING (doc_id)
+            )
+            SELECT cluster_id,
+                   count(*) AS cluster_size,
+                   max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id
+            FROM ranked GROUP BY cluster_id
+        """,
         # gap sessionization: lag -> flag -> running-sum ordinal ->
         # per-session aggregate; interval arithmetic is exact
         # microseconds in both engines
