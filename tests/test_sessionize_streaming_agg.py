@@ -144,3 +144,33 @@ def test_stream_session_window_matches_batch_sessionize(spark, tmp_path):
     assert (1, _ts(9, 0), 3) in got
     assert (1, _ts(11, 0), 2) in got
     assert (2, _ts(9, 30), 1) in got
+
+
+def test_sessionize_two_phase_equals_single_window(spark):
+    """Bucketed two-phase sessionization must be row-identical to the
+    single-window formulation, including sessions spanning bucket
+    boundaries and multi-bucket-gap silences."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # hot user: 400 events across 10 days with random gaps straddling
+    # the 30-min threshold and several >1-day silences
+    t = dt.datetime(2024, 1, 1)
+    for i in range(400):
+        step = rng.choice([dt.timedelta(minutes=rng.randint(1, 90)),
+                           dt.timedelta(hours=rng.randint(1, 30))])
+        t = t + step
+        rows.append((1, t))
+    # a user whose sessions cross midnight exactly
+    rows += [(2, dt.datetime(2024, 1, 1, 23, 50)),
+             (2, dt.datetime(2024, 1, 2, 0, 10)),
+             (2, dt.datetime(2024, 1, 2, 0, 41))]
+    d = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    a = sorted(map(tuple, sessionize(d, gap_minutes=30, skew_bucket="day").collect()))
+    b = sorted(map(tuple, sessionize(d, gap_minutes=30, skew_bucket=None).collect()))
+    assert a == b
+    # midnight-crossing pair stays one session; 0:41 (31min gap) splits
+    got = {(r[0], r[1]): r[2] for r in a}
+    assert got[(2, dt.datetime(2024, 1, 1, 23, 50))] == got[(2, dt.datetime(2024, 1, 2, 0, 10))]
+    assert got[(2, dt.datetime(2024, 1, 2, 0, 41))] == got[(2, dt.datetime(2024, 1, 2, 0, 10))] + 1
