@@ -64,6 +64,11 @@ class PipelineConfig:
     excluded_years: tuple[int, ...] = ()
     file_limit: int | None = None
     dandiset_limit: int | None = None
+    # hot-asset skew bucket for the per-asset index (see
+    # operators/aggregate.mapped_per_asset): date_trunc granularity
+    # bounding any one window task to a single bucket of the hottest
+    # asset; None = single-window (skew-prone, lowest fixed overhead)
+    mapped_skew_bucket: str | None = "hour"
     extra: dict = field(default_factory=dict)
 
 
@@ -360,9 +365,9 @@ def run_map_stage(
         activity = join_assets(enriched, assets)
 
         obs = Observation(f"mapped_rows_{run_id}")
-        mapped = mapped_per_asset(activity).observe(
-            obs, F.count(F.lit(1)).alias("n")
-        )
+        mapped = mapped_per_asset(
+            activity, skew_bucket=cfg.mapped_skew_bucket
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         catalog.write(
             mapped, "mapped_per_asset", partition_by=("dandiset_id", "version_id")
         )
