@@ -116,21 +116,56 @@ def _day(df: DataFrame) -> DataFrame:
     return df.withColumn("date", F.date_format("timestamp", "yyyy-MM-dd"))
 
 
+# grouping_id() constants for _grouped_summaries: with group columns
+# listed as (*keys, date, region, asset_path), bit i (MSB-first) is 1
+# when that column is aggregated away — the three single-dimension sets
+# always end in the same three low bits regardless of len(keys)
+_GID_BY_DAY, _GID_BY_REGION, _GID_BY_ASSET = 3, 5, 6
+
+
+def _grouped_summaries(a: DataFrame, keys: list[str]) -> dict[str, DataFrame]:
+    """by_day / by_region / by_asset in ONE aggregation pass.
+
+    Three separate groupBys would scan the (persisted) fact three
+    times and schedule three full agg jobs; GROUPING SETS computes all
+    three groupings in a single pass — the combined result is
+    dimension-sized, so it is eagerly ``localCheckpoint``-ed and the
+    per-summary sinks become metadata-cheap filters over materialized
+    rows.  Cuts the map stage's summary cost (scan count AND fixed
+    job-scheduling floor) in half at any scale.
+    """
+    combined = (
+        a.groupingSets(
+            [[*keys, "date"], [*keys, "region"], [*keys, "asset_path"]],
+            *keys,
+            "date",
+            "region",
+            "asset_path",
+        )
+        .agg(
+            F.sum("bytes_sent").alias("bytes_sent"),
+            F.grouping_id().alias("_gid"),
+        )
+        .localCheckpoint()
+    )
+
+    def pick(gid: int, dim: str, *order):
+        return (
+            combined.filter(F.col("_gid") == gid)
+            .select(*keys, dim, "bytes_sent")
+            .orderBy(*order)
+        )
+
+    return {
+        "by_day": pick(_GID_BY_DAY, "date", *keys, "date"),
+        "by_region": pick(_GID_BY_REGION, "region", *keys, F.desc("bytes_sent")),
+        "by_asset": pick(_GID_BY_ASSET, "asset_path", *keys, F.desc("bytes_sent")),
+    }
+
+
 def version_summaries(activity: DataFrame) -> dict[str, DataFrame]:
     """by_day / by_region / by_asset at (dandiset, version) grain."""
-    keys = ["dandiset_id", "version_id"]
-    a = _day(activity)
-    return {
-        "by_day": a.groupBy(*keys, "date")
-        .agg(F.sum("bytes_sent").alias("bytes_sent"))
-        .orderBy(*keys, "date"),
-        "by_region": a.groupBy(*keys, "region")
-        .agg(F.sum("bytes_sent").alias("bytes_sent"))
-        .orderBy(*keys, F.desc("bytes_sent")),
-        "by_asset": a.groupBy(*keys, "asset_path")
-        .agg(F.sum("bytes_sent").alias("bytes_sent"))
-        .orderBy(*keys, F.desc("bytes_sent")),
-    }
+    return _grouped_summaries(_day(activity), ["dandiset_id", "version_id"])
 
 
 def dandiset_summaries(binned: DataFrame, assets: DataFrame) -> dict[str, DataFrame]:
@@ -149,15 +184,4 @@ def dandiset_summaries(binned: DataFrame, assets: DataFrame) -> dict[str, DataFr
     enriched = binned.join(dim, binned.object_key == dim.blob_key, "inner").drop(
         "blob_key"
     )
-    a = _day(enriched)
-    return {
-        "by_day": a.groupBy("dandiset_id", "date")
-        .agg(F.sum("bytes_sent").alias("bytes_sent"))
-        .orderBy("dandiset_id", "date"),
-        "by_region": a.groupBy("dandiset_id", "region")
-        .agg(F.sum("bytes_sent").alias("bytes_sent"))
-        .orderBy("dandiset_id", F.desc("bytes_sent")),
-        "by_asset": a.groupBy("dandiset_id", "asset_path")
-        .agg(F.sum("bytes_sent").alias("bytes_sent"))
-        .orderBy("dandiset_id", F.desc("bytes_sent")),
-    }
+    return _grouped_summaries(_day(enriched), ["dandiset_id"])
