@@ -9,9 +9,16 @@ continuously-landing pages table:
 * the SAME extraction/filter operators as batch (one code path —
   ``parse_and_filter_log_lines`` is stream-safe: no global sorts);
 * ``foreachBatch`` fan-out: each microbatch appends day-partitioned
-  reduced rows and error rows through the same Catalog, and records
+  reduced rows AND error rows through the same Catalog, and records
   per-batch lineage — checkpointing makes restarts resume from the last
   committed batch (replaces the reference's started/completed files).
+
+Error side-channel parity with batch: like ``plans/pipeline.py``'s
+reduce stage, kept and error rows land in ONE write under an ``rclass``
+partition column (writing them as two actions would re-run the whole
+parse chain once per microbatch).  No error line is ever dropped —
+reference ``_error_collection.py:7-40`` semantics.  Read the slices
+back with :func:`read_stream_reduced` / :func:`read_stream_errors`.
 """
 
 from __future__ import annotations
@@ -19,12 +26,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import PAGES_SCHEMA
+from ..config import ERROR_STATUS_PREFIX, OK_STATUSES, PAGES_SCHEMA
 from ..functions.text import with_header_and_text
-from ..operators.reduce import parse_and_filter_log_lines, split_reduced
+from ..operators.reduce import parse_and_filter_log_lines
 from ..plans.lineage import LineageLog
 from ..plans.pipeline import PipelineConfig
 from ..sources.tables import Catalog
+
+
+def read_stream_reduced(catalog: Catalog) -> DataFrame:
+    """Kept reduced rows (partition-pruned on rclass='ok')."""
+    return catalog.read("reduced_stream").filter(F.col("rclass") == "ok").drop(
+        "rclass"
+    )
+
+
+def read_stream_errors(catalog: Catalog) -> DataFrame:
+    """Error side-channel rows from the streaming reduce (raw line in
+    ``url``, failure class in ``parse_status`` — mirrors batch
+    ``read_reduce_errors``)."""
+    return (
+        catalog.read("reduced_stream")
+        .filter(F.col("rclass") == "error")
+        .select("url", "parse_status")
+    )
 
 
 def stream_reduce(
@@ -70,28 +95,56 @@ def stream_reduce(
             truncate_zarr=cfg.truncate_zarr,
             passthrough=("url", day),
         )
-        # the observe sits BETWEEN parse and the kept-filter: it counts
-        # kept rows AND blocks Catalyst from pushing the filter through
-        # the parse projection (which would duplicate the whole parse
-        # expression tree — see plans/pipeline.py reduce stage)
-        from ..config import OK_STATUSES
-
+        # ONE scan, ONE write (batch-reduce parity): ok + error rows
+        # under an rclass partition column.  The observe sits BETWEEN
+        # the parse projection and the rclass keep-filter: it counts
+        # kept/error rows AND blocks Catalyst from pushing the filter
+        # through the parse projection (which would duplicate the whole
+        # parse expression tree — see plans/pipeline.py reduce stage)
+        full = parsed.withColumn(
+            "rclass",
+            F.when(
+                F.col("parse_status").startswith(ERROR_STATUS_PREFIX), "error"
+            ).when(F.col("parse_status").isin(*OK_STATUSES), "ok"),
+        ).select(
+            "timestamp",
+            "ip_address",
+            "object_key",
+            "bytes_sent",
+            # url only matters on the error side-channel (the reference
+            # error-collects the raw line); null it out on kept rows —
+            # dead weight in the write otherwise (parquet RLE-null)
+            F.when(
+                F.col("parse_status").startswith(ERROR_STATUS_PREFIX),
+                F.col("url"),
+            ).alias("url"),
+            "parse_status",
+            day,
+            "rclass",
+        )
         obs_out = Observation(f"stream_out_{batch_id}")
-        parsed = parsed.observe(
+        full = full.observe(
             obs_out,
-            F.count(F.when(F.col("parse_status").isin(*OK_STATUSES), 1)).alias("n"),
+            F.count(F.when(F.col("rclass") == "ok", 1)).alias("n_ok"),
+            F.count(F.when(F.col("rclass") == "error", 1)).alias("n_err"),
         )
-        kept, errors = split_reduced(parsed)
-        reduced = kept.select(
-            "timestamp", "ip_address", "object_key", "bytes_sent", "url", day
-        )
+        out = full.filter(F.col("rclass").isNotNull())
         mode = "append" if catalog.exists("reduced_stream") else "overwrite"
-        catalog.write(reduced, "reduced_stream", partition_by=(day,), mode=mode)
+        catalog.write(
+            out, "reduced_stream", partition_by=(day, "rclass"), mode=mode
+        )
+        metrics = obs_out.get
         lineage.record(
             f"stream-batch-{batch_id}",
             "stream_reduce",
-            [(str(batch_id), obs_in.get["n"], obs_out.get["n"])],
+            [(str(batch_id), obs_in.get["n"], metrics["n_ok"])],
         )
+        if metrics["n_err"]:
+            lineage.record(
+                f"stream-batch-{batch_id}",
+                "stream_reduce_errors",
+                [(str(batch_id), None, metrics["n_err"])],
+            )
 
     writer = (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)
