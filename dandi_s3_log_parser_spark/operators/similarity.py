@@ -101,6 +101,20 @@ def make_signature_udf(dim: int, n_planes: int = 16, seed: int = 1234):
     return signature
 
 
+def _probe_masks(n_planes: int, multiprobe: int) -> list[int]:
+    """All XOR masks with popcount <= multiprobe over n_planes bits."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -109,15 +123,20 @@ def lsh_bucketed_topk(
     dim: int,
     n_planes: int = 16,
     seed: int = 1234,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """ANN: equal-signature bucket join then exact rerank inside buckets.
 
-    Recall is tunable via ``n_planes`` (fewer planes = bigger buckets =
-    higher recall, more rerank work).  At scale, add multi-probe by
-    unioning queries with bit-flipped signatures.
+    Recall is tunable two ways: ``n_planes`` (fewer planes = bigger
+    buckets = higher recall, more rerank work) and ``multiprobe`` (also
+    probe every bucket within hamming distance ``multiprobe`` of the
+    query's own signature — the standard multi-probe LSH trick).
+    Probing expands ONLY the broadcast query side (x sum_{r<=m} C(n,r)
+    rows); the corpus keeps one bucket per row and the candidate step
+    stays an equi-join, so the 100 TB shape is unchanged.
     """
     sig = make_signature_udf(dim, n_planes, seed)
     c = embeddings.select(
@@ -125,11 +144,26 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias("c_vec"),
         sig(F.col(vec_col)).alias("bucket"),
     )
+    masks = _probe_masks(n_planes, multiprobe)
+    # signature computed ONCE per query row, then fanned out across the
+    # probe masks (queries are small/broadcast by contract)
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sig(F.col(vec_col)).alias("_sig"),
+    )
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            sig(F.col(vec_col)).alias("bucket"),
+        qs.select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("_sig").bitwiseXOR(F.lit(m).cast("long"))
+                        for m in masks
+                    ]
+                )
+            ).alias("bucket"),
         )
     )
     scored = c.join(q, "bucket").select(
