@@ -31,7 +31,13 @@ def word_tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    verify_collisions: bool = False,
+) -> DataFrame:
     """Keep the minimum id per exact text value (hash aggregation).
 
     Groups on a 256-bit content digest (sha2) instead of the text
@@ -39,14 +45,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     — never the corpus bytes — and the partial (map-side) aggregation
     collapses local duplicates before the exchange.  Digest equality is
     text equality for all practical purposes (collision probability
-    ~2^-128 at 10^12 docs); a paranoid deployment can re-verify the
-    dup_count>1 groups with one pruned second pass.
+    ~2^-128 at 10^12 docs); ``verify_collisions=True`` adds the
+    paranoid second pass — re-checking ONLY the dup_count>1 digest
+    groups (a semi-join-pruned scan, not a second full shuffle of the
+    corpus) that each maps to exactly one distinct text, raising if a
+    sha2 collision merged distinct documents.
     """
-    return (
-        df.groupBy(F.sha2(F.col(text_col), 256).alias("_digest"))
-        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
-        .select(id_col, "dup_count")
+    digests = df.groupBy(F.sha2(F.col(text_col), 256).alias("_digest")).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
     )
+    if verify_collisions:
+        dup_digests = digests.filter(F.col("dup_count") > 1).select("_digest")
+        collided = (
+            df.select(F.sha2(F.col(text_col), 256).alias("_digest"), text_col)
+            .join(dup_digests, "_digest", "left_semi")
+            .groupBy("_digest")
+            .agg(F.count_distinct(text_col).alias("_n_texts"))
+            .filter(F.col("_n_texts") > 1)
+            .count()
+        )
+        if collided:
+            raise ValueError(
+                f"exact_dedup: {collided} sha2-256 digest group(s) span "
+                "distinct texts — hash collision merged different documents"
+            )
+    return digests.select(id_col, "dup_count")
 
 
 def with_shingles(
@@ -207,6 +230,8 @@ def minhash_dedup(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    catalog=None,
+    shingle_table: str | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard >= threshold.
 
@@ -214,9 +239,14 @@ def minhash_dedup(
     signature path and both verify sides then consume the same exchange
     (Catalyst ReuseExchange — one shuffle write, three reads) instead of
     re-running the tokenize/shingle subtree three times.  Cache-free, so
-    nothing leaks past the query and the plan scales to corpora where a
-    persisted shingle set would not fit (at real corpus scale you would
-    materialize shingles to a table instead).
+    nothing leaks past the query.
+
+    At real corpus scale the in-query exchange itself becomes the
+    bottleneck (it lives in shuffle storage for the query's lifetime):
+    pass ``catalog`` + ``shingle_table`` to materialize the shingle set
+    as a committed table instead — written once, and all three
+    consumers read the committed files (which also survive for any
+    later dedup/fingerprint pass over the same corpus snapshot).
     """
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sh = (
@@ -225,6 +255,11 @@ def minhash_dedup(
         .filter(F.size("sh") > 0)
         .repartition(n_part, "id")
     )
+    if shingle_table is not None:
+        if catalog is None:
+            raise ValueError("shingle_table requires a catalog")
+        catalog.write(sh, shingle_table, mode="overwrite")
+        sh = catalog.read(shingle_table)
     cands = minhash_lsh_candidates(
         df,
         num_hashes=num_hashes,
@@ -312,6 +347,21 @@ def dedup_clusters(
         labels = new_labels.drop("_old")
         if changed == 0:
             break
+    else:
+        # fell through with changed > 0: some component's diameter
+        # exceeds max_iter, so its labels are only partially propagated
+        # (one near-dup chain would be reported as several clusters).
+        # Never silent — the caller must raise max_iter (or pre-split
+        # the input) rather than trust split cluster ids.
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: {changed} label(s) still changing after "
+            f"max_iter={max_iter} rounds — component diameter exceeds the "
+            "iteration budget and the returned cluster ids are SPLIT; "
+            "raise max_iter",
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

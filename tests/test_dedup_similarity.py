@@ -170,3 +170,57 @@ def test_lsh_multiprobe_masks_and_recall(spark, vectors):
     assert len(probed) >= len(base)
     # mask 0 is always probed -> the self pair must survive
     assert all((q, q) in probed for q in (0, 1, 2))
+
+
+def test_exact_dedup_verify_collisions_clean(spark, docs):
+    """The paranoid collision pass is a no-op on a collision-free corpus
+    (a real sha2 collision cannot be synthesized; the raise path is
+    covered by construction in exact_dedup)."""
+    base = {tuple(r) for r in exact_dedup(docs).collect()}
+    verified = {tuple(r) for r in exact_dedup(docs, verify_collisions=True).collect()}
+    assert verified == base
+
+
+def test_minhash_dedup_materialized_shingles(spark, docs, tmp_path):
+    """The committed-shingle-table route returns the identical pair set
+    as the in-query exchange route, and leaves the table behind for
+    later passes over the same corpus snapshot."""
+    from dandi_s3_log_parser_spark.sources.tables import Catalog
+
+    cat = Catalog(spark, tmp_path / "wh")
+    inline = {tuple(r) for r in minhash_dedup(docs, threshold=0.5).collect()}
+    mat = {
+        tuple(r)
+        for r in minhash_dedup(
+            docs, threshold=0.5, catalog=cat, shingle_table="doc_shingles"
+        ).collect()
+    }
+    assert mat == inline
+    assert cat.exists("doc_shingles")
+    assert cat.read("doc_shingles").columns == ["id", "sh"]
+    with pytest.raises(ValueError, match="requires a catalog"):
+        minhash_dedup(docs, shingle_table="x")
+
+
+def test_dedup_clusters_warns_on_nonconvergence(spark):
+    """A chain longer than max_iter hops must WARN that cluster ids are
+    split, never return partial labels silently."""
+    import warnings
+
+    from dandi_s3_log_parser_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = dedup_clusters(chain, max_iter=2)
+        out.collect()
+        assert any("SPLIT" in str(w.message) for w in rec)
+    # with enough rounds the same chain converges to one cluster, no warn
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        full = dedup_clusters(chain, max_iter=20)
+        labels = {r["cluster_id"] for r in full.collect()}
+        assert labels == {0}
+        assert not any("SPLIT" in str(w.message) for w in rec2)
