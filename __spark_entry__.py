@@ -690,6 +690,24 @@ def q_sessionize(spark, sf):
     )
 
 
+# one pipeline warehouse per driver process, removed at interpreter exit
+# (the returned DataFrame lazily reads from it, so it cannot be deleted
+# inside the query function; repeated queries() runs reuse it — the
+# pipeline's lineage resume makes the second run a cheap no-op — and
+# /tmp is left clean afterwards instead of accumulating one warehouse
+# per correctness run)
+_PIPELINE_WAREHOUSE = None
+
+
+def _pipeline_warehouse() -> str:
+    global _PIPELINE_WAREHOUSE
+    if _PIPELINE_WAREHOUSE is None:
+        import tempfile
+
+        _PIPELINE_WAREHOUSE = tempfile.TemporaryDirectory(prefix="entry_pipeline_")
+    return _PIPELINE_WAREHOUSE.name
+
+
 def _publish_pipeline_inputs(tables) -> None:
     """Dump the deterministic synthetic pipeline inputs for the SQL
     oracle: pages + dimension tables, plus (ip, sha1-hash) computed with
@@ -721,15 +739,13 @@ def q_pages_pipeline(spark, sf):
     header split, op/key/status filters, zarr truncation, excluded-ip
     anti join, cache>CIDR-first-match>geo>unknown region resolution,
     distinct-blob dandiset join, groupBy sum."""
-    import tempfile
-
     from dandi_s3_log_parser_spark.datagen import generate, to_spark
     from dandi_s3_log_parser_spark.plans.pipeline import PipelineConfig, run_pipeline
     from dandi_s3_log_parser_spark.sources.tables import Catalog
 
     tables = generate(600, seed=21)
     pages, dims = to_spark(spark, tables)
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="entry_pipeline_"))
+    cat = Catalog(spark, _pipeline_warehouse())
     run_pipeline(spark, cat, pages, dims, PipelineConfig(), "entry")
     if _is_oracle_sf(sf):
         _publish_pipeline_inputs(tables)

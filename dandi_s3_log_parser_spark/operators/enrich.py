@@ -116,9 +116,36 @@ def build_ip_region_map(
 def merge_region_cache(catalog, ip_map: DataFrame, table: str = "ip_region_cache") -> None:
     """Persist newly-resolved (ip_hash -> region) pairs into the cache
     table — the set-based MERGE replacing the reference's YAML cache
-    save (``_ip_utils.py:211-221``).  On Iceberg this is a real MERGE
-    INTO; the parquet fallback rewrites the (small) cache table."""
+    save (``_ip_utils.py:211-221``).
+
+    On Iceberg this issues a real ``MERGE INTO ... WHEN NOT MATCHED
+    THEN INSERT`` (first-write-wins, matching the reference's
+    cache-hit-short-circuit semantics: an entry, once resolved, is
+    never rewritten) — one atomic snapshot commit, no table rewrite,
+    which matters because the cache is the one table that grows
+    monotonically with corpus size.  The parquet fallback reproduces
+    the same semantics with an anti-join + staging-table rewrite (the
+    cache is rewritten, but never via a driver collect).
+    """
     new = ip_map.select("ip_hash", "region").filter(F.col("region") != "unknown")
+    if catalog.iceberg_catalog:
+        if not catalog.exists(table):
+            catalog.write(new, table, mode="overwrite")
+            return
+        import uuid
+
+        view = f"_region_cache_updates_{uuid.uuid4().hex}"
+        new.createOrReplaceTempView(view)
+        try:
+            catalog.spark.sql(
+                f"MERGE INTO {catalog._ident(table)} t "  # noqa: S608 — idents, not data
+                f"USING {view} s ON t.ip_hash = s.ip_hash "
+                "WHEN NOT MATCHED THEN INSERT (ip_hash, region) "
+                "VALUES (s.ip_hash, s.region)"
+            )
+        finally:
+            catalog.spark.catalog.dropTempView(view)
+        return
     if catalog.exists(table):
         existing = catalog.read(table)
         merged = existing.unionByName(

@@ -72,11 +72,6 @@ class PipelineConfig:
     extra: dict = field(default_factory=dict)
 
 
-def _day_counts(df: DataFrame, day_col: str) -> dict[str, int]:
-    rows = df.groupBy(day_col).count().collect()
-    return {str(r[day_col]): r["count"] for r in rows}
-
-
 def discover_days(pages: DataFrame, ts_col: str = "warc_ts") -> list[str]:
     """Work-list discovery WITHOUT a data scan of the input.
 
@@ -156,6 +151,41 @@ def run_reduce_stage(
     days = lineage.pending("reduce", all_days) if resume else all_days
     if not days:
         return []
+    # A months-long backfill is processed in <=64-day chunks.  Each
+    # Observation carries one metric expression per day, and metrics
+    # ride every task-completion event back to the driver, so the list
+    # must stay bounded — but the per-day rows_in lineage must survive
+    # exactly the large-backfill scenario the pipeline targets.  Batching
+    # the work list (one write per chunk, each riding its own
+    # Observation) keeps both, instead of silently recording
+    # rows_in=NULL beyond the cap as before.  Chunking also makes the
+    # resume grain finer: a crash mid-backfill keeps completed chunks.
+    for chunk_start in range(0, len(days), 64):
+        _reduce_day_chunk(
+            pages,
+            days[chunk_start : chunk_start + 64],
+            cfg,
+            catalog,
+            lineage,
+            run_id,
+            excluded_ips=excluded_ips,
+        )
+    return days
+
+
+def _reduce_day_chunk(
+    pages: DataFrame,
+    days: list[str],
+    cfg: PipelineConfig,
+    catalog: Catalog,
+    lineage: LineageLog,
+    run_id: str,
+    *,
+    excluded_ips: DataFrame | None,
+) -> None:
+    """One <=64-day reduce batch: a single scan-parse-write action with
+    all lineage metrics riding it via observe()."""
+    day = cfg.day_col
     # day.isin() wraps warc_ts in date_format, which no source can push
     # down; the added sargable warc_ts range bounds DO reach the scan
     # (PushedFilters: ts >= lo, ts < hi), so parquet row-group stats /
@@ -170,17 +200,14 @@ def run_reduce_stage(
 
     # rows_in per day rides the SAME (and only) pages scan as the parse
     # itself: an Observation attached before the parse filters counts
-    # input rows per day during the write action (days are
-    # partition-grain so the metric list is small; beyond the cap
-    # rows_in is recorded as unknown rather than paying a second scan)
-    obs_in = None
-    if len(days) <= 64:
-        from pyspark.sql import Observation
+    # input rows per day during the write action (the chunked work list
+    # keeps the metric list inside Spark's 64-expression observe cap)
+    from pyspark.sql import Observation
 
-        obs_in = Observation(f"reduce_in_{run_id}")
-        batch = batch.observe(
-            obs_in, *[F.count(F.when(F.col(day) == d, 1)).alias(d) for d in days]
-        )
+    obs_in = Observation(f"reduce_in_{run_id}_{lo}")
+    batch = batch.observe(
+        obs_in, *[F.count(F.when(F.col(day) == d, 1)).alias(d) for d in days]
+    )
 
     with_header = with_header_and_text(batch)
     # tz metric flag (P9): computed pre-parse, observed below, dropped
@@ -236,14 +263,11 @@ def run_reduce_stage(
     # (observed in the round-1 physical plan).
     from pyspark.sql import Observation
 
-    obs = Observation(f"reduce_out_{run_id}")
-    if len(days) <= 64:
-        metric_cols = [
-            F.count(F.when((F.col(day) == d) & (F.col("rclass") == "ok"), 1)).alias(d)
-            for d in days
-        ]
-    else:
-        metric_cols = [F.count(F.when(F.col("rclass") == "ok", 1)).alias("_total_ok")]
+    obs = Observation(f"reduce_out_{run_id}_{lo}")
+    metric_cols = [
+        F.count(F.when((F.col(day) == d) & (F.col("rclass") == "ok"), 1)).alias(d)
+        for d in days
+    ]
     metric_cols.append(F.count(F.when(F.col("_tz_nonstd"), 1)).alias("_tz_warn"))
     full = full.observe(obs, *metric_cols)
     out = full.filter(F.col("rclass").isNotNull()).drop("_tz_nonstd")
@@ -257,22 +281,14 @@ def run_reduce_stage(
             "(kept; zone dropped — reference _s3_log_file_reducer.py:265-270)",
             stacklevel=2,
         )
-        lineage.record(run_id, "reduce_tz_warn", [("ALL", None, tz_warn)])
-    if len(days) <= 64:
-        rows_out = obs.get
-    else:
-        # beyond the metric cap: one pruned scan of the (much smaller)
-        # written table
-        rows_out = _day_counts(
-            read_reduced(catalog).filter(F.col(day).isin(days)), day
-        )
-    rows_in = obs_in.get if obs_in is not None else {}
+        lineage.record(run_id, "reduce_tz_warn", [(f"ALL:{lo}", None, tz_warn)])
+    rows_out = obs.get
+    rows_in = obs_in.get
     lineage.record(
         run_id,
         "reduce",
         [(d, rows_in.get(d), rows_out.get(d, 0)) for d in days],
     )
-    return days
 
 
 def run_bin_stage(

@@ -16,6 +16,18 @@ preserves the two properties the pipeline relies on:
 
 On a real cluster, set ``iceberg_catalog`` to a configured catalog name
 and the same API writes `catalog.db.table` identifiers instead.
+
+Real-Iceberg status (attempted 2026-08-17): no ``iceberg-spark-runtime``
+jar ships with this sandbox's Spark (``/opt/spark/jars`` and the pyspark
+wheel both lack it) and the box has no network route (DNS resolution
+fails for both the pip index and repo1.maven.org), so the jar cannot be
+vendored in.  The Iceberg branch is therefore verified by recorder-mock
+call-sequence tests (``tests/test_round2_scale_fixes.py``,
+``tests/test_round3_hardening.py``) plus a gated integration test
+(``tests/test_iceberg_integration.py``, ``@pytest.mark.iceberg``) that
+executes the full catalog round-trip — create partitioned, dynamic
+overwrite one day, other days survive, cache MERGE INTO — whenever a
+runtime jar is supplied via ``SPARK_ICEBERG_JAR``.
 """
 
 from __future__ import annotations

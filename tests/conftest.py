@@ -13,6 +13,10 @@ TESTDATA = Path("/root/testdata")
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end test")
+    config.addinivalue_line(
+        "markers",
+        "iceberg: needs a real iceberg-spark-runtime jar (SPARK_ICEBERG_JAR)",
+    )
 
 
 @pytest.fixture(scope="session")
