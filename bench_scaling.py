@@ -45,8 +45,28 @@ def run_worker(
     from dandi_s3_log_parser_spark.sources.tables import Catalog
     import shutil
 
-    spark = get_spark(f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    # UI on (off in the library default): the REST status API is where
+    # executor CPU time lives — the contamination-proof metric on this
+    # shared box (external load inflates wall, not our executors' CPU)
+    spark = get_spark(
+        f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     pages, dims = _ensure_bench_pages(spark, n_pages)
+
+    def executor_totals():
+        """(executor_cpu_s, executor_run_s) summed over completed stages."""
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete"
+        ) as resp:
+            stages = json.load(resp)
+        cpu_ns = sum(s.get("executorCpuTime", 0) for s in stages)
+        run_ms = sum(s.get("executorRunTime", 0) for s in stages)
+        return cpu_ns / 1e9, run_ms / 1e3
 
     def one_pass(wh):
         catalog = Catalog(spark, wh)
@@ -73,21 +93,35 @@ def run_worker(
     # several measured passes, best taken: this sandbox shares the box
     # with an external workload (load spikes of 5-15), and min-of-K is
     # the standard way to estimate intrinsic cost under noise
-    secs = []
+    secs, cpu_secs, run_secs = [], [], []
     for trial in range(trials):
         wh = root / f"scale_wh_{cpus}"
         shutil.rmtree(wh, ignore_errors=True)
+        cpu0, run0 = executor_totals()
         t0 = time.perf_counter()
         one_pass(wh)
         secs.append(round(time.perf_counter() - t0, 3))
+        cpu1, run1 = executor_totals()
+        cpu_secs.append(round(cpu1 - cpu0, 3))
+        run_secs.append(round(run1 - run0, 3))
     shutil.rmtree(wh_warm, ignore_errors=True)
     shutil.rmtree(wh, ignore_errors=True)
     best = min(secs)
+    i_best = secs.index(best)
+    med = sorted(secs)[len(secs) // 2]
     return {
         "cpus": cpus,
         "sec": best,
+        "sec_median": med,
         "trials_sec": secs,
+        # executor CPU per trial: wall varies with external box load,
+        # executor CPU does not (±JIT) — a trial whose wall doubles at
+        # flat CPU was descheduled, not slower
+        "trials_executor_cpu_s": cpu_secs,
+        "trials_executor_run_s": run_secs,
+        "executor_cpu_s": cpu_secs[i_best],
         "docs_per_sec": round(n_pages / best, 1),
+        "docs_per_sec_median": round(n_pages / med, 1),
     }
 
 
@@ -135,12 +169,14 @@ def main() -> None:
 
     n, n4 = results[lo], results[hi]
     eff = (n4["docs_per_sec"] / n["docs_per_sec"]) / 4.0
+    eff_med = (n4["docs_per_sec_median"] / n["docs_per_sec_median"]) / 4.0
     summary = {
         "pages": args.pages,
         "stage": args.stage,
         f"local[{lo}]": n,
         f"local[{hi}]": n4,
         "scaling_efficiency_N_to_4N": round(eff, 3),
+        "scaling_efficiency_N_to_4N_median": round(eff_med, 3),
         "meets_north_rule_0.8": eff >= 0.8,
     }
     print(json.dumps(summary, indent=2))
