@@ -383,6 +383,63 @@ def q_embedding_sim_pairs(spark, sf):
     )
 
 
+def _embedding_near_dup_corpus(spark, sf):
+    """Embeddings + planted near-dups: for vec_id < 200 add a copy at
+    id+100000 with v'_i = v_i + 0.03 * v_{(i mod d)+1} (a rotate-and-add
+    perturbation, cosine ~0.9995) — deterministic pure arithmetic that
+    DuckDB replays exactly (float->double widening then IEEE double ops
+    on both engines)."""
+    emb = _load(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", vd.alias("v"))
+    rot = F.concat(F.slice(F.col("v"), 2, dim - 1), F.slice(F.col("v"), 1, 1))
+    planted = base.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(F.col("v"), rot, lambda x, y: x + y * 0.03).alias("v"),
+    )
+    return base.unionByName(planted), dim
+
+
+def q_embedding_lsh_near_dup(spark, sf):
+    """Embedding near-dup pairs via multi-table hyperplane LSH + exact
+    cosine verify — the 100 TB path next to the guarded all-pairs
+    baseline (`embedding_sim_pairs`).  The oracle recomputes ALL exact
+    pairs >= threshold over the same planted corpus; at the planted
+    cosine (~0.9995) the 8-plane x 4-table family has recall
+    1-(1-p^8)^4 ~ 1-1e-7 per pair, and the equality contract is
+    asserted in-query at the oracle sf (any missed exact pair raises
+    with the recall number, same loud-failure design as
+    `minhash_lsh_dedup`)."""
+    from dandi_s3_log_parser_spark.operators.similarity import (
+        embedding_lsh_near_dup_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    corpus, dim = _embedding_near_dup_corpus(spark, sf)
+    out = embedding_lsh_near_dup_pairs(
+        corpus, threshold=0.99, dim=dim, n_planes=8, n_tables=4,
+        id_col="vec_id", vec_col="v",
+    )
+    if _is_oracle_sf(sf):
+        exact = embedding_near_dup_pairs(
+            corpus, threshold=0.99, id_col="vec_id", vec_col="v",
+            max_rows=1_000_000,
+        ).select("id_a", "id_b")
+        n_exact = exact.count()
+        missing = exact.join(
+            out.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        ).count()
+        if missing:
+            raise ValueError(
+                f"embedding_lsh_near_dup: LSH missed {missing}/{n_exact} "
+                f"exact pairs (recall {(n_exact - missing) / n_exact:.4f}) "
+                "on the planted fixture — exact-recompute oracle requires "
+                "recall 1; add tables/planes or weaken the oracle"
+            )
+    return out
+
+
 # --- LSH / ANN / pipeline — oracle-verified via exact recompute -------------
 
 
@@ -821,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "lsh_ann_recall": q_lsh_ann_recall,
         "ivf_ann_recall": q_ivf_ann_recall,
+        "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "pages_pipeline": q_pages_pipeline,
         "multimodal_decode": q_multimodal_decode,
         "repetition_metrics": q_repetition_metrics,
@@ -1261,6 +1319,33 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_recall": _ANN_RECALL_SQL.format(
             pairs=_exchange_path("ivf_ann_recall_pairs")
         ),
+        # exact all-pairs recompute over the SAME planted corpus (base
+        # embeddings + rotate-and-add copies at id+100000); the LSH
+        # family's recall is ~1-1e-7 at the planted cosine and equality
+        # is asserted in-query on the Spark side (loud failure)
+        "embedding_lsh_near_dup": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), planted AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(
+                           range(1, len(v) + 1),
+                           i -> v[i] + v[(i % len(v)) + 1] * 0.03
+                       ) AS v
+                FROM base WHERE vec_id < 200
+            ), corpus AS (
+                SELECT * FROM base UNION ALL SELECT * FROM planted
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6)
+                       AS cosine_sim
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.99
+        """,
         "pages_pipeline": _PAGES_PIPELINE_SQL.format(
             pages=_exchange_path("pp_pages"),
             excluded=_exchange_path("pp_excluded"),

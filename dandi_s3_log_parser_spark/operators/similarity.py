@@ -299,6 +299,80 @@ def ivf_topk(
     )
 
 
+def embedding_lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: multi-table
+    hyperplane-LSH candidates + exact cosine verify.
+
+    The 100 TB shape (the all-pairs :func:`embedding_near_dup_pairs` is
+    a guarded baseline): each of ``n_tables`` independent hyperplane
+    families buckets the corpus by sign signature; candidate pairs form
+    inside (table, bucket) groups only — an equi-join-shaped expansion,
+    never a cross join — and only candidates pay the exact cosine.
+    Recall for a pair at cosine c is 1-(1-p^k)^L with p = 1-acos(c)/pi,
+    k=n_planes, L=n_tables: ~0.9989 per pair at c=0.99 with the 8x4
+    default, and higher as c -> 1 (the regime near-dup dedup cares
+    about).  Buckets larger than ``max_bucket_size`` are dropped before
+    pair expansion (the same degenerate-bucket guard as MinHash-LSH —
+    an all-similar degenerate bucket would otherwise emit m^2/2 pairs).
+    """
+    from pyspark.sql import Window
+
+    sigs = [
+        make_signature_udf(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
+    ]
+    c = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), sigs[t](F.col(vec_col)).alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "tb.tbl", "tb.bucket")
+    w = Window.partitionBy("tbl", "bucket")
+    small = c.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)
+    )
+    grouped = small.groupBy("tbl", "bucket").agg(
+        F.array_sort(F.collect_list(F.struct("id", "v"))).alias("members")
+    )
+    n = F.size(F.col("members"))
+    pair_array = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, n),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.round(cosine(x["v"], y["v"]), 6).alias("cosine_sim"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_array).alias("p"))
+        .select("p.id_a", "p.id_b", "p.cosine_sim")
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     *,

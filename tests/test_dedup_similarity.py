@@ -224,3 +224,42 @@ def test_dedup_clusters_warns_on_nonconvergence(spark):
         labels = {r["cluster_id"] for r in full.collect()}
         assert labels == {0}
         assert not any("SPLIT" in str(w.message) for w in rec2)
+
+
+def test_dedup_clusters_pointer_jumping_log_convergence(spark):
+    """A 120-hop chain converges within ~log2(d) rounds thanks to
+    pointer jumping (plain propagation would need 120 rounds)."""
+    import warnings
+
+    from dandi_s3_log_parser_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = dedup_clusters(chain, max_iter=10)
+        labels = {r["cluster_id"] for r in out.collect()}
+    assert labels == {0}
+    assert not any("SPLIT" in str(w.message) for w in rec)
+
+
+def test_embedding_lsh_near_dup_pairs(spark, vectors):
+    """The LSH-bucketed near-dup path finds the planted near-dup pair
+    and agrees with the guarded all-pairs baseline on this corpus."""
+    from dandi_s3_log_parser_spark.operators.similarity import (
+        embedding_lsh_near_dup_pairs,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_near_dup_pairs(
+            vectors, threshold=0.95, dim=16, n_planes=4, n_tables=4
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(vectors, threshold=0.95).collect()
+    }
+    assert (0, 1) in got
+    assert got == want
