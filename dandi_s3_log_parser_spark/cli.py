@@ -95,6 +95,37 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_stream_reduce(args) -> int:
+    """Streaming twin of ``pipeline --stage reduce``: drain (or follow)
+    a continuously-landing pages directory with checkpointed
+    exactly-once microbatches (SURVEY §2.8)."""
+    from .plans.pipeline import PipelineConfig
+    from .sources.tables import Catalog
+    from .streaming.stream_reduce import stream_reduce
+
+    spark = _build_session(args)
+    catalog = Catalog(spark, args.warehouse, iceberg_catalog=args.iceberg_catalog)
+    excluded = (
+        spark.read.parquet(f"{args.dims}/excluded_ips") if args.dims else None
+    )
+    q = stream_reduce(
+        spark,
+        args.pages,
+        catalog,
+        args.checkpoint,
+        PipelineConfig(),
+        excluded_ips=excluded,
+        available_now=not args.follow,
+    )
+    if args.follow:
+        q.awaitTermination()
+    else:
+        q.awaitTermination(args.timeout)
+        print("stream-reduce: drained available input "
+              f"(checkpoint {args.checkpoint})")
+    return 0
+
+
 def cmd_lineage(args) -> int:
     from .plans.lineage import LineageLog
     from .sources.tables import Catalog
@@ -138,6 +169,22 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dandiset-limit", type=int, default=None,
                    help="map only the first N dandisets (sorted)")
     r.set_defaults(fn=cmd_pipeline)
+
+    s = sub.add_parser(
+        "stream-reduce",
+        help="streaming reduce over a landing pages dir (drain or follow)",
+    )
+    s.add_argument("--pages", required=True, help="pages directory to stream from")
+    s.add_argument("--dims", default=None,
+                   help="dimension dir (for excluded_ips); optional")
+    s.add_argument("--warehouse", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--iceberg-catalog", default=None)
+    s.add_argument("--follow", action="store_true",
+                   help="keep running on new files instead of drain-and-stop")
+    s.add_argument("--timeout", type=int, default=600,
+                   help="drain-mode wait seconds")
+    s.set_defaults(fn=cmd_stream_reduce)
 
     li = sub.add_parser("lineage", help="show the lineage/checkpoint table")
     li.add_argument("--warehouse", required=True)

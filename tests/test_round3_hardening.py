@@ -160,3 +160,32 @@ def test_backfill_over_64_days_keeps_per_day_rows_in(spark, tmp_path):
         spark, catalog, pages, PipelineConfig(), lineage, "backfill-2"
     )
     assert again == []
+
+
+def test_cli_stream_reduce_drains(spark, tmp_path):
+    """The stream-reduce CLI command drains a landing pages dir into the
+    rclass-partitioned reduced_stream table (CLI twin of the streaming
+    recast; exercised in-process via cli.main)."""
+    from dandi_s3_log_parser_spark.cli import main
+    from dandi_s3_log_parser_spark.datagen import generate, to_spark
+    from dandi_s3_log_parser_spark.streaming.stream_reduce import (
+        read_stream_reduced,
+    )
+
+    tables = generate(300, seed=5)
+    pages, dims = to_spark(spark, tables)
+    pages.write.mode("append").parquet(str(tmp_path / "pages"))
+    dims["excluded_ips"].write.parquet(str(tmp_path / "dims" / "excluded_ips"))
+
+    rc = main([
+        "--local-cores", "8",
+        "stream-reduce",
+        "--pages", str(tmp_path / "pages"),
+        "--dims", str(tmp_path / "dims"),
+        "--warehouse", str(tmp_path / "wh"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--timeout", "300",
+    ])
+    assert rc == 0
+    cat = Catalog(spark, tmp_path / "wh")
+    assert read_stream_reduced(cat).count() > 0
