@@ -93,6 +93,7 @@ HEADLINE_QUERIES = (
     "minhash_lsh_dedup",
     "cosine_topk",
     "lsh_ann_topk",
+    "embedding_lsh_near_dup",
     "hourly_window",
     "sessionize",
     "repetition_metrics",
