@@ -139,6 +139,25 @@ def q_regex_extract(spark, sf):
     )
 
 
+def q_json_extract(spark, sf):
+    """Schema-on-read JSON extraction (§2.7 scalar surface): the events
+    ``props`` column is a JSON string; ``from_json`` projects it into a
+    typed struct JVM-side (codegen'd Jackson parse — the idiomatic
+    Spark path for semi-structured log payloads, vs the regex fallback
+    ``q_regex_extract`` also covers)."""
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        _load(spark, sf, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_key_rewrite(spark, sf):
     """P11: zarr-style key truncation (first two path segments)."""
     from dandi_s3_log_parser_spark.operators.reduce import truncate_zarr_key
@@ -847,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "reduce_filter_project": q_reduce_filter_project,
         "regex_extract": q_regex_extract,
+        "json_extract": q_json_extract,
         "key_rewrite": q_key_rewrite,
         "null_sentinel_cast": q_null_sentinel_cast,
         "by_day_agg": q_by_day_agg,
@@ -1052,6 +1072,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   count(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                       AS n_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                        AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "key_rewrite": """
             SELECT 'zarr/' || p_brand AS object_key, count(*) AS n
