@@ -703,6 +703,24 @@ def q_hash_split(spark, sf):
     )
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-source corpus mixing: md5-uniform draw per doc
+    vs a per-source keep rate.  The oracle recomputes the identical
+    md5 draw, so the verified quantity is the exact surviving ROW SET,
+    not just counts."""
+    from dandi_s3_log_parser_spark.operators.curation import stratified_sample
+
+    d = _load(spark, sf, "documents")
+    return (
+        stratified_sample(d, _MIX_RATES, default_rate=0.05)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_source_stats(spark, sf):
     """Per-source corpus stats with a blocklist filter (the curation
     analog of the reference's excluded-IP reducer filter,
@@ -904,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "top_bigram_fraction": q_top_bigram_fraction,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "source_stats": q_source_stats,
         "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
@@ -1457,6 +1476,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(a.top_cnt AS DOUBLE) / a.bigram_count, 0.0),
                        6) AS top_bigram_frac
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # per-source mix: the identical md5-derived uniform on both
+        # engines makes the surviving row set bit-reproducible
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(concat('0x',
+                       substr(md5('mix-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0
+                  < CASE source
+                      WHEN 'src0' THEN 1.0
+                      WHEN 'src1' THEN 0.5
+                      WHEN 'src2' THEN 0.25
+                      WHEN 'src3' THEN 0.1
+                      ELSE 0.05
+                    END
+            ORDER BY doc_id
         """,
         # md5-bucket split: identical md5 text bytes in both engines
         "hash_split": """

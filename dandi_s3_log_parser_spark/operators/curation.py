@@ -166,6 +166,48 @@ def hash_split(
     return docs.withColumn("split", split)
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic per-source subsampling — the corpus-mixing step of
+    a training-data pipeline (per-source sampling weights, e.g. 'keep
+    100% of curated, 25% of crawl').
+
+    Each row draws a reproducible uniform u in [0,1) from
+    ``md5(salt|id)`` (first 8 hex digits / 2^32) and survives iff
+    u < rate(source).  Pure projection + filter: no shuffle, no RNG
+    state, stable across runs/engines/partitionings/cluster sizes —
+    re-running a 100 TB mix selects byte-identical rows, and adding a
+    source never reshuffles the others.  ``salt`` versions the mix (a
+    new salt is a fresh independent draw).
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
+    return docs.filter(u < rate)
+
+
 # ---------------------------------------------------------------------------
 # Per-source stats with blocklist
 # ---------------------------------------------------------------------------

@@ -90,3 +90,33 @@ def test_pack_sequences_budget_and_determinism(spark):
         d.repartition(13), budget=25, buckets=4, bucket_fn="md5"
     ).collect()
     assert sorted(map(tuple, packs)) == sorted(map(tuple, packs2))
+
+
+def test_stratified_sample_semantics(spark):
+    """Per-source mixing: rate 1.0 keeps everything, rate 0 drops
+    everything, the draw is deterministic under repartitioning, and a
+    new salt is an independent draw."""
+    from dandi_s3_log_parser_spark.operators.curation import stratified_sample
+
+    rows = [(i, f"s{i % 2}") for i in range(400)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = stratified_sample(d, {"s0": 1.0, "s1": 0.5}).collect()
+    s0 = [r for r in kept if r["source"] == "s0"]
+    s1 = [r for r in kept if r["source"] == "s1"]
+    assert len(s0) == 200                 # rate 1.0 keeps all
+    assert 60 <= len(s1) <= 140           # ~0.5 of 200
+
+    # default_rate=0 drops unknown sources entirely
+    assert stratified_sample(d, {"s0": 1.0}).filter("source = 's1'").count() == 0
+
+    # deterministic under partitioning
+    again = stratified_sample(d.repartition(7), {"s0": 1.0, "s1": 0.5}).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+
+    # different salt -> different (independent) draw for the sampled side
+    other = stratified_sample(d, {"s0": 1.0, "s1": 0.5}, salt="mix-v2").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, kept))
+
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(d, {"s0": 1.5})
