@@ -1,0 +1,122 @@
+"""Property-based invariants (hypothesis) for order-sensitive operators.
+
+The reference's test strategy is golden fixtures (SURVEY §5); these
+properties add the Spark-specific guarantees no fixture can pin down —
+algebraic equivalence of skew-proof reformulations and conservation
+laws — over randomized inputs.  Examples are kept small (Spark-job
+latency per example), with fixed derandomized profiles so CI never
+flakes.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+T0 = datetime.datetime(2024, 3, 1)
+
+# (user, minute-offset) event sets: few keys -> dense per-key streams,
+# offsets spanning multiple days so the two-phase day buckets engage
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=5000),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@pytest.mark.slow
+@PROP
+@given(rows=events_strategy)
+def test_sessionize_two_phase_equals_single_window_property(spark, rows):
+    """The skew-proof two-phase (day-bucketed) sessionize is row-for-row
+    identical to the single-window formulation on ANY event set."""
+    from dandi_s3_log_parser_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(u, T0 + datetime.timedelta(minutes=m)) for u, m in rows],
+        "user_id long, ts timestamp",
+    )
+    kw = dict(key_col="user_id", ts_col="ts", gap_minutes=90)
+    two_phase = sessionize(df, skew_bucket="day", **kw)
+    single = sessionize(df, skew_bucket=None, **kw)
+    cols = ["user_id", "ts", "session_id"]
+    a = sorted(map(tuple, two_phase.select(*cols).collect()))
+    b = sorted(map(tuple, single.select(*cols).collect()))
+    assert a == b
+
+
+docs_strategy = st.lists(
+    st.integers(min_value=1, max_value=40),  # token count per doc
+    min_size=1,
+    max_size=40,
+)
+
+
+@pytest.mark.slow
+@PROP
+@given(sizes=docs_strategy)
+def test_pack_sequences_conservation_property(spark, sizes):
+    """Packing conserves docs and tokens exactly, and a pack never
+    exceeds budget by more than one document (a doc joins the pack its
+    cumulative start falls in)."""
+    from dandi_s3_log_parser_spark.operators.curation import pack_sequences
+
+    budget = 50
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    packs = pack_sequences(d, budget=budget, buckets=4, bucket_fn="md5").collect()
+    assert sum(p["docs"] for p in packs) == len(sizes)
+    assert sum(p["tokens"] for p in packs) == sum(sizes)
+    assert all(p["tokens"] < budget + max(sizes) for p in packs)
+    # seq ids are contiguous from 0 within each bucket
+    by_bucket = {}
+    for p in packs:
+        by_bucket.setdefault(p["bucket"], []).append(p["seq_id"])
+    for seqs in by_bucket.values():
+        assert sorted(seqs) == list(range(len(seqs)))
+
+
+words_strategy = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+        min_size=3,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@pytest.mark.slow
+@PROP
+@given(docs=words_strategy)
+def test_exact_duplicates_are_always_lsh_candidates_property(spark, docs):
+    """A verbatim duplicate (jaccard 1.0) collides in EVERY MinHash band,
+    so the candidate set must contain every exact-duplicate pair — the
+    one LSH recall guarantee that holds with probability 1."""
+    from dandi_s3_log_parser_spark.operators.dedup import minhash_dedup
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    # duplicate every doc under id+1000
+    rows += [(i + 1000, t) for i, t in rows]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup(d, threshold=1.0).collect()
+    }
+    for i, _ in enumerate(docs):
+        assert (i, i + 1000) in pairs
