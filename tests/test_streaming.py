@@ -113,3 +113,69 @@ def test_stream_errors_side_channel_matches_batch(spark, tmp_path):
     lin = LineageLog(catalog, "stream_lineage").read().toPandas()
     err_rows = lin[lin["stage"] == "stream_reduce_errors"]
     assert err_rows["rows_out"].sum() == 1
+
+
+def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
+    """Custom stateful streaming dedup: the first (key, value) row
+    survives across microbatches AND restarts (checkpointed state); the
+    surviving set equals the batch distinct set."""
+    from dandi_s3_log_parser_spark.streaming.stream_dedup import stream_first_seen
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def drain():
+        stream = spark.readStream.schema("ip string, key string").parquet(str(src))
+        q = (
+            stream_first_seen(stream, key_col="ip", dedup_col="key")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    batch1 = [("a", "k1"), ("a", "k2"), ("a", "k1"), ("b", "k1")]
+    spark.createDataFrame(batch1, "ip string, key string").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+
+    # second landing repeats k1/k2 for 'a' (cross-batch dups) + one new
+    batch2 = [("a", "k1"), ("a", "k2"), ("a", "k3"), ("b", "k2")]
+    spark.createDataFrame(batch2, "ip string, key string").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+
+    got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    want = sorted(set(batch1 + batch2))  # batch distinct semantics
+    assert got == want
+
+
+def test_stream_first_seen_fails_open_past_cap(spark, tmp_path):
+    """Beyond max_state_per_key the operator passes rows through
+    (bounded state beats silent unbounded growth at scale)."""
+    from dandi_s3_log_parser_spark.streaming.stream_dedup import stream_first_seen
+
+    src = tmp_path / "in"
+    rows = [("a", f"k{i}") for i in range(10)] + [("a", "k0")]
+    spark.createDataFrame(rows, "ip string, key string").write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema("ip string, key string").parquet(str(src))
+    q = (
+        stream_first_seen(stream, key_col="ip", dedup_col="key", max_state_per_key=0)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n = spark.read.parquet(str(tmp_path / "out")).count()
+    # cap 0 = state full from the start: every row (even the k0 repeat)
+    # passes through — fail open, never silent unbounded state
+    assert n == 11
