@@ -732,6 +732,69 @@ def q_source_stats(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3/Llama-style n-gram overlap):
+    docs with doc_id % 97 == 0 act as the held-out eval set; every
+    remaining doc reports how many distinct 3-grams it shares with
+    that set.  The eval-gram side is broadcast, so the corpus-side
+    explode-join is map-side — the only shuffle carries contaminated
+    (doc_id, count) rows.  Oracle: full independent n-gram + overlap
+    recompute in DuckDB."""
+    from dandi_s3_log_parser_spark.operators.decontaminate import decontaminate
+
+    d = _load(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=3).orderBy("doc_id")
+
+
+def q_pii_redact(spark, sf):
+    """PII detection + redaction over a deterministically planted
+    fixture: the synthetic corpus has no PII, so both engines append
+    the same doc_id-derived email / phone spans (pure string
+    arithmetic — replayed exactly by the oracle), then count matches
+    and hash the redacted text.  All native regexp_count /
+    regexp_replace — zero UDFs, streams at scan speed."""
+    from dandi_s3_log_parser_spark.functions.text import (
+        pii_email_count,
+        pii_phone_count,
+        pii_redact,
+    )
+
+    d = _load(spark, sf, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-867-53"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = pii_redact(planted)
+    return (
+        d.select(
+            "doc_id",
+            pii_email_count(planted).cast("long").alias("email_count"),
+            pii_phone_count(planted).cast("long").alias("phone_count"),
+            F.conv(F.substring(F.md5(redacted), 1, 4), 16, 10)
+            .cast("int")
+            .alias("redacted_h16"),
+        )
+        .filter((F.col("email_count") > 0) | (F.col("phone_count") > 0))
+        .orderBy("doc_id")
+    )
+
+
 def q_pack_sequences(spark, sf):
     """Token-budget sequence packing (md5 bucketing so the DuckDB
     oracle reproduces the identical pack assignment)."""
@@ -925,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_stats": q_source_stats,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
         "sessionize": q_sessionize,
         "dedup_keep_policy": q_dedup_keep_policy,
     }
@@ -1539,6 +1604,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens
             FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id
         """.format(toks=_TOKENS.format(col="text")),
+        # benchmark decontamination: full independent 3-gram + overlap
+        # recompute (tokenizer shared with the dedup family via the
+        # same lower/split-\s+ semantics)
+        "decontaminate": f"""
+            WITH tok AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i.i:i.i+2], ' ') AS gram
+                FROM tok, unnest(range(1, len(w) - 1)) AS i(i)
+            ), bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+            ), hits AS (
+                SELECT g.doc_id, count(DISTINCT g.gram) AS matched
+                FROM grams g JOIN bench USING (gram)
+                WHERE g.doc_id % 97 <> 0 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.matched, 0) AS BIGINT) AS matched_ngrams,
+                   coalesce(h.matched, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+            ORDER BY doc_id
+        """,
+        # PII plant + detect + redact: both engines append the same
+        # doc_id-derived spans, count with the same RE2-safe regexes,
+        # and hash the redacted bytes
+        "pii_redact": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 11 = 0
+                            THEN ' call 555-867-53'
+                                 || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                            ELSE '' END AS t
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS ec,
+                       len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}')) AS pc,
+                       regexp_replace(regexp_replace(t,
+                           '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS red
+                FROM planted
+            )
+            SELECT doc_id,
+                   CAST(ec AS BIGINT) AS email_count,
+                   CAST(pc AS BIGINT) AS phone_count,
+                   CAST(concat('0x', substr(md5(red), 1, 4)) AS INTEGER)
+                       AS redacted_h16
+            FROM m WHERE ec > 0 OR pc > 0 ORDER BY doc_id
+        """,
         # dedup keep policy: transitive closure (as dedup_clusters) +
         # quality recompute + per-cluster argmax (quality desc, id asc)
         "dedup_keep_policy": f"""

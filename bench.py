@@ -99,6 +99,8 @@ HEADLINE_QUERIES = (
     "repetition_metrics",
     "pack_sequences",
     "dedup_clusters",
+    "decontaminate",
+    "pii_redact",
 )
 
 
