@@ -655,16 +655,10 @@ def q_ivf_ann_recall(spark, sf):
     return _ann_recall(spark, sf, "ivf_ann_recall", emb, queries, ann)
 
 
-def q_repetition_metrics(spark, sf):
-    """Gopher-style duplicate-line metrics per document.
-
-    The synthetic corpus is single-line word soup, so to exercise the
-    metric non-degenerately the query first re-chunks each text into
-    2-token "lines" (deterministic, replicated exactly in the oracle);
-    ~36% of documents then contain duplicated lines."""
-    from dandi_s3_log_parser_spark.operators.curation import repetition_metrics
-
-    d = _load(spark, sf, "documents")
+def _chunk_2tok(d):
+    """Re-chunk single-line word-soup text into 2-token "lines" —
+    deterministic, replicated exactly by the DuckDB oracles that share
+    this convention (repetition_metrics, corpus_line_dedup)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     # guard: sequence(0, -1) would DESCEND for empty docs
     chunk_lines = F.when(F.size(toks) == 0, F.lit("")).otherwise(
@@ -679,8 +673,37 @@ def q_repetition_metrics(spark, sf):
             "\n",
         )
     )
-    chunked = d.select("doc_id", chunk_lines.alias("text"))
-    return repetition_metrics(chunked)
+    return d.select("doc_id", chunk_lines.alias("text"))
+
+
+def q_repetition_metrics(spark, sf):
+    """Gopher-style duplicate-line metrics per document.
+
+    The synthetic corpus is single-line word soup, so to exercise the
+    metric non-degenerately the query first re-chunks each text into
+    2-token "lines" (deterministic, replicated exactly in the oracle);
+    ~36% of documents then contain duplicated lines."""
+    from dandi_s3_log_parser_spark.operators.curation import repetition_metrics
+
+    return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
+
+
+def q_corpus_line_dedup(spark, sf):
+    """CCNet-style corpus-level boilerplate removal: lines occurring in
+    more than 3.5% of documents are stripped from every document, which
+    is then re-assembled from its surviving lines in original order.
+    The df aggregation shuffles (digest, doc_id) only; the verified
+    quantity is the exact re-assembled text bytes per document.
+    (3.5% measured non-degenerate at BOTH sf0.01 — 221 boilerplate
+    lines — and sf0.1 — 8 lines / 1,433 removals.)"""
+    from dandi_s3_log_parser_spark.operators.curation import corpus_line_dedup
+
+    d = _load(spark, sf, "documents")
+    # one metadata-sized count to fix the absolute df threshold (3.5%)
+    threshold = int(d.count() * 0.035)
+    return corpus_line_dedup(
+        _chunk_2tok(d), max_doc_freq=threshold
+    ).orderBy("doc_id")
 
 
 def q_top_bigram_fraction(spark, sf):
@@ -990,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
+        "corpus_line_dedup": q_corpus_line_dedup,
         "sessionize": q_sessionize,
         "dedup_keep_policy": q_dedup_keep_policy,
     }
@@ -1628,6 +1652,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 97 <> 0
             ORDER BY doc_id
         """,
+        # corpus-level line dedup: same 2-token chunking as
+        # repetition_metrics, full df + reassembly recompute — the
+        # compared value is the exact surviving text bytes
+        "corpus_line_dedup": """
+            WITH t AS (
+                SELECT doc_id, {toks} AS toks FROM documents
+            ), chunked AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           range(1, CAST(ceil(len(toks) / 2.0) AS INT) + 1),
+                           i -> array_to_string(toks[(i-1)*2+1 : i*2], ' ')
+                       ), chr(10)) AS text
+                FROM t
+            ), lines AS (
+                SELECT doc_id, i.i - 1 AS pos, l[i.i] AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                      FROM chunked),
+                     unnest(range(1, len(l) + 1)) AS i(i)
+            ), linedf AS (
+                SELECT line, count(DISTINCT doc_id) AS d
+                FROM lines WHERE line <> '' GROUP BY line
+            ), common AS (
+                SELECT line FROM linedf
+                WHERE d > (SELECT count(*) FROM documents) * 0.035
+            ), kept AS (
+                SELECT * FROM lines
+                WHERE line NOT IN (SELECT line FROM common)
+            ), surv AS (
+                SELECT doc_id, count(*) AS kept_lines,
+                       string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id,
+                       len(string_split(text, chr(10))) AS total
+                FROM chunked
+            )
+            SELECT tot.doc_id,
+                   CAST(coalesce(s.kept_lines, 0) AS BIGINT) AS kept_lines,
+                   CAST(tot.total - coalesce(s.kept_lines, 0) AS BIGINT)
+                       AS removed_lines,
+                   coalesce(s.text, '') AS text
+            FROM tot LEFT JOIN surv s USING (doc_id)
+            ORDER BY doc_id
+        """.format(toks=_TOKENS.format(col="text")),
         # PII plant + detect + redact: both engines append the same
         # doc_id-derived spans, count with the same RE2-safe regexes,
         # and hash the redacted bytes

@@ -101,6 +101,7 @@ HEADLINE_QUERIES = (
     "dedup_clusters",
     "decontaminate",
     "pii_redact",
+    "corpus_line_dedup",
 )
 
 

@@ -246,6 +246,81 @@ def source_stats(
 
 
 # ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Remove lines that occur in more than ``max_doc_freq`` distinct
+    documents across the WHOLE corpus (CCNet-style paragraph dedup —
+    the step that strips nav bars, cookie banners, and license
+    boilerplate from web text before training).
+
+    Returns one row per input document:
+    ``(id_col, kept_lines, removed_lines, text)`` where ``text`` is the
+    document re-assembled from its surviving lines in original order
+    (empty string when every line was boilerplate).
+
+    Plan shape at 10^12 docs:
+
+    - ``posexplode`` lines with their position (map-side);
+    - document frequency keyed on a sha2-256 LINE DIGEST, so the
+      df aggregation exchange carries (32-byte digest, doc_id) — never
+      the line bytes — and partial aggregation collapses within-doc
+      repeats before the shuffle;
+    - the common-digest set (boilerplate is by definition a tiny
+      distinct set) comes back via a left_anti join that AQE plans as
+      broadcast;
+    - one final shuffle keyed on ``id_col`` reassembles survivors —
+      each corpus byte crosses the wire exactly once.
+
+    Empty lines are never counted toward document frequency (they are
+    structure, not content) and therefore never removed.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_digest", F.sha2(F.col("line"), 256))
+    common = (
+        lines.filter(F.col("line") != "")
+        .groupBy("_digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_digest")
+    )
+    kept = lines.join(common, "_digest", "left_anti")
+    survivors = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_text"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("_total")
+    )
+    return totals.join(survivors, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("kept_lines"), F.lit(0))
+        .cast("long")
+        .alias("kept_lines"),
+        (F.col("_total") - F.coalesce(F.col("kept_lines"), F.lit(0)))
+        .cast("long")
+        .alias("removed_lines"),
+        F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
 

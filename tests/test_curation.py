@@ -120,3 +120,71 @@ def test_stratified_sample_semantics(spark):
 
     with pytest.raises(ValueError, match="rate"):
         stratified_sample(d, {"s0": 1.5})
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_line_dedup_hand_computed(spark):
+    from dandi_s3_log_parser_spark.operators.curation import corpus_line_dedup
+
+    rows = [
+        (1, "cookie banner\nreal content one\ncookie banner"),
+        (2, "cookie banner\nreal content two"),
+        (3, "cookie banner\nanother thing"),
+        (4, "only original text here"),
+        (5, ""),  # empty doc: its single empty line is never removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # "cookie banner" appears in 3 distinct docs > max_doc_freq=2 -> drop
+    out = {
+        r["doc_id"]: r
+        for r in corpus_line_dedup(df, max_doc_freq=2).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["kept_lines"] == 1 and out[1]["removed_lines"] == 2
+    assert out[1]["text"] == "real content one"
+    assert out[2]["text"] == "real content two"
+    assert out[3]["text"] == "another thing"
+    assert out[4]["removed_lines"] == 0
+    assert out[4]["text"] == "only original text here"
+    assert out[5]["kept_lines"] == 1 and out[5]["text"] == ""
+
+
+def test_corpus_line_dedup_preserves_line_order(spark):
+    from dandi_s3_log_parser_spark.operators.curation import corpus_line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "z last\ncommon\na first"), (2, "common"), (3, "common")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in corpus_line_dedup(df, max_doc_freq=2).collect()
+    }
+    # original order, NOT sorted content order
+    assert out[1] == "z last\na first"
+    assert out[2] == ""
+
+
+def test_corpus_line_dedup_df_exchange_carries_digest_not_line(spark):
+    """The document-frequency aggregation must shuffle the sha2 digest,
+    never the line bytes (the corpus-scale contract)."""
+    import re
+
+    from dandi_s3_log_parser_spark.operators.curation import corpus_line_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        corpus_line_dedup(df, max_doc_freq=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for exch in [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]:
+        assert not re.search(r"hashpartitioning\(line", exch)
+    assert "sha2" in plan
