@@ -744,6 +744,49 @@ def q_stratified_sample(spark, sf):
     )
 
 
+_UPSAMPLE_W = {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 3.0}
+
+
+def q_upsample_corpus(spark, sf):
+    """Weighted corpus mixing WITH repetition (the upsampling half of
+    data mixing): weight w emits floor(w) copies + one more with
+    probability frac(w), from the same md5 uniform as
+    stratified_sample.  All weight fractions are binary-exact (.0/.5)
+    so the float compare is bit-identical across engines; the verified
+    quantity is the exact emitted (doc, epoch) multiset."""
+    from dandi_s3_log_parser_spark.operators.curation import upsample_corpus
+
+    d = _load(spark, sf, "documents")
+    return (
+        upsample_corpus(d, _UPSAMPLE_W, default_weight=1.0)
+        .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def q_vocab_topk(spark, sf):
+    """Corpus-level token frequency (tokenizer-training precursor /
+    heavy-hitters): top 50 tokens by total count with document
+    frequency.  Token-keyed hash aggregate with map-side combine; the
+    ordered limit plans as TakeOrderedAndProject — per-partition top-k,
+    no global sort of the vocabulary."""
+    from dandi_s3_log_parser_spark.operators.dedup import word_tokens
+
+    d = _load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.count_distinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(50)
+    )
+
+
 def q_source_stats(spark, sf):
     """Per-source corpus stats with a blocklist filter (the curation
     analog of the reference's excluded-IP reducer filter,
@@ -1014,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "upsample_corpus": q_upsample_corpus,
+        "vocab_topk": q_vocab_topk,
         "sessionize": q_sessionize,
         "dedup_keep_policy": q_dedup_keep_policy,
     }
@@ -1652,6 +1697,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 97 <> 0
             ORDER BY doc_id
         """,
+        # weighted upsampling: identical md5 uniform + binary-exact
+        # weight fractions -> exact (doc, epoch) multiset equality
+        "upsample_corpus": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       CASE source
+                         WHEN 'src0' THEN 2.5
+                         WHEN 'src1' THEN 1.0
+                         WHEN 'src2' THEN 0.5
+                         WHEN 'src3' THEN 3.0
+                         ELSE 1.0
+                       END AS wt,
+                       CAST(concat('0x',
+                           substr(md5('upsample-v1|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) / 4294967296.0 AS u
+                FROM documents
+            ), n AS (
+                SELECT doc_id, source,
+                       CAST(floor(wt) AS BIGINT)
+                       + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS nc
+                FROM w
+            )
+            SELECT doc_id, source, CAST(i.i AS BIGINT) AS epoch
+            FROM n, unnest(range(0, nc)) AS i(i)
+            WHERE nc > 0
+            ORDER BY doc_id, epoch
+        """,
+        # corpus heavy-hitters: full token frequency recompute
+        "vocab_topk": """
+            SELECT t AS token,
+                   CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM (SELECT doc_id, unnest({toks_lower}) AS t FROM documents)
+            GROUP BY t
+            ORDER BY tf DESC, token
+            LIMIT 50
+        """.format(toks_lower=toks_lower),
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the
         # compared value is the exact surviving text bytes

@@ -102,6 +102,8 @@ HEADLINE_QUERIES = (
     "decontaminate",
     "pii_redact",
     "corpus_line_dedup",
+    "upsample_corpus",
+    "vocab_topk",
 )
 
 

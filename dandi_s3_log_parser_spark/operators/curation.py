@@ -208,6 +208,58 @@ def stratified_sample(
     return docs.filter(u < rate)
 
 
+def upsample_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    default_weight: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "upsample-v1",
+) -> DataFrame:
+    """Deterministic per-source corpus mixing WITH repetition — the
+    upsampling half of data mixing (Llama-style: low-resource curated
+    sources repeated ~2x per epoch, crawl kept at <=1x).
+
+    A weight w emits each document ``floor(w)`` times plus one more
+    with probability ``frac(w)``, drawn from the same reproducible
+    ``md5(salt|id)`` uniform as :func:`stratified_sample` (so w <= 1
+    degenerates to exactly that subsample).  Output adds an ``epoch``
+    column (0-based copy index) — downstream packing/shuffling treats
+    repeats as distinct rows.
+
+    Pure projection + ``explode(sequence(...))``: no shuffle, no RNG
+    state; the emitted multiset is a function of (id, source, salt)
+    only, so a 100 TB mix is byte-reproducible across cluster sizes
+    and a weight change for one source never touches the others.
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(float(default_weight))
+    for s, r in sorted(weights.items()):
+        w = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(w)
+    n_copies = F.floor(w).cast("long") + (u < (w - F.floor(w))).cast("long")
+    return (
+        docs.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-source stats with blocklist
 # ---------------------------------------------------------------------------

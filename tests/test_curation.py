@@ -188,3 +188,77 @@ def test_corpus_line_dedup_df_exchange_carries_digest_not_line(spark):
     ]:
         assert not re.search(r"hashpartitioning\(line", exch)
     assert "sha2" in plan
+
+
+# ---------------------------------------------------------------------------
+# Weighted upsampling (corpus mixing with repetition)
+# ---------------------------------------------------------------------------
+
+
+def test_upsample_integer_weights_exact(spark):
+    from dandi_s3_log_parser_spark.operators.curation import upsample_corpus
+
+    df = spark.createDataFrame(
+        [(i, "t", ["a", "b", "c"][i % 3]) for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    out = upsample_corpus(
+        df, {"a": 3.0, "b": 1.0, "c": 0.0}, default_weight=1.0
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # integer weights have no random component at all
+    assert len(by_src["a"]) == 30  # 10 docs x 3 epochs
+    assert sorted(r["epoch"] for r in by_src["a"])[:3] == [0, 0, 0]
+    assert len(by_src["b"]) == 10 and all(r["epoch"] == 0 for r in by_src["b"])
+    assert "c" not in by_src  # weight 0 -> dropped entirely
+
+
+def test_upsample_fractional_weight_bounds_and_determinism(spark):
+    from dandi_s3_log_parser_spark.operators.curation import upsample_corpus
+
+    df = spark.createDataFrame(
+        [(i, "t", "s") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    a = upsample_corpus(df, {"s": 2.5}).collect()
+    b = upsample_corpus(df, {"s": 2.5}).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    per_doc = {}
+    for r in a:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert set(per_doc.values()) <= {2, 3}
+    assert len(per_doc) == 200  # every doc emitted at least floor(w) times
+    frac3 = sum(1 for v in per_doc.values() if v == 3) / 200
+    assert 0.35 < frac3 < 0.65  # md5 uniform ~ 0.5
+    # epochs are a contiguous 0..n-1 range per doc
+    epochs = sorted(r["epoch"] for r in a if r["doc_id"] == 0)
+    assert epochs == list(range(len(epochs)))
+
+
+def test_upsample_plan_has_no_shuffle(spark):
+    from dandi_s3_log_parser_spark.operators.curation import upsample_corpus
+
+    df = spark.createDataFrame(
+        [(1, "t", "s")], "doc_id long, text string, source string"
+    )
+    plan = (
+        upsample_corpus(df, {"s": 2.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure projection + explode
+
+
+def test_upsample_rejects_negative_weight(spark):
+    import pytest as _pytest
+
+    from dandi_s3_log_parser_spark.operators.curation import upsample_corpus
+
+    df = spark.createDataFrame(
+        [(1, "t", "s")], "doc_id long, text string, source string"
+    )
+    with _pytest.raises(ValueError):
+        upsample_corpus(df, {"s": -1.0})
