@@ -658,22 +658,29 @@ def q_ivf_ann_recall(spark, sf):
 def _chunk_2tok(d):
     """Re-chunk single-line word-soup text into 2-token "lines" —
     deterministic, replicated exactly by the DuckDB oracles that share
-    this convention (repetition_metrics, corpus_line_dedup)."""
+    this convention (repetition_metrics, corpus_line_dedup).
+
+    The token array is materialized behind a projection boundary FIRST
+    (same measured pathology as ``with_shingles``: expressions
+    referenced inside higher-order-function lambdas are re-evaluated
+    per element, so an inlined split/filter makes the chunk builder
+    O(tokens^2) per document — ~3x the whole-query wall at sf0.1)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    bound = d.select("doc_id", toks.alias("_toks"))
     # guard: sequence(0, -1) would DESCEND for empty docs
-    chunk_lines = F.when(F.size(toks) == 0, F.lit("")).otherwise(
+    chunk_lines = F.when(F.size("_toks") == 0, F.lit("")).otherwise(
         F.array_join(
             F.transform(
                 F.sequence(
                     F.lit(0),
-                    (F.ceil(F.size(toks) / F.lit(2.0)) - 1).cast("int"),
+                    (F.ceil(F.size("_toks") / F.lit(2.0)) - 1).cast("int"),
                 ),
-                lambda i: F.concat_ws(" ", F.slice(toks, i * 2 + 1, 2)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * 2 + 1, 2)),
             ),
             "\n",
         )
     )
-    return d.select("doc_id", chunk_lines.alias("text"))
+    return bound.select("doc_id", chunk_lines.alias("text"))
 
 
 def q_repetition_metrics(spark, sf):
@@ -742,6 +749,24 @@ def q_stratified_sample(spark, sf):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+def q_curation_funnel(spark, sf):
+    """C4-style curation funnel: one scan, each doc attributed to its
+    first failing rule (length -> language -> quality), per-rule drop
+    and remaining counts.  Quality is compared on the round-4 value —
+    the quantity the quality_score parity already proves bit-equal —
+    so the threshold can never flip on a cross-engine ulp."""
+    from dandi_s3_log_parser_spark.functions.text import quality_score
+    from dandi_s3_log_parser_spark.operators.curation import curation_funnel
+
+    d = _load(spark, sf, "documents")
+    rules = [
+        ("too_short", F.col("n_chars") < 100),
+        ("wrong_lang", F.col("lang") != "en"),
+        ("low_quality", F.round(quality_score(F.col("text")), 4) < 0.55),
+    ]
+    return curation_funnel(d, rules)
 
 
 _UPSAMPLE_W = {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 3.0}
@@ -1059,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "upsample_corpus": q_upsample_corpus,
         "vocab_topk": q_vocab_topk,
+        "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
         "dedup_keep_policy": q_dedup_keep_policy,
     }
@@ -1697,6 +1723,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 97 <> 0
             ORDER BY doc_id
         """,
+        # curation funnel: same first-failing-rule CASE chain, same
+        # round-4 quality formula as the quality_score oracle; the
+        # cumulative window runs over the 4-row result
+        "curation_funnel": """
+            WITH v AS (
+                SELECT CASE
+                    WHEN n_chars < 100 THEN 'too_short'
+                    WHEN lang <> 'en' THEN 'wrong_lang'
+                    WHEN round((least(length(text) / 500.0, 1.0)
+                        + least(CASE WHEN len({toks_lower}) > 0
+                                THEN len(list_filter({toks_lower},
+                                         x -> x IN ({_EN})))
+                                     / CAST(len({toks_lower}) AS DOUBLE)
+                                ELSE 0.0 END * 4.0, 1.0)
+                        + greatest(0.0, 1.0 - CASE WHEN length(text) > 0
+                            THEN (length(text) - length(regexp_replace(text,
+                                 '[^\\w\\s]', '', 'g')))
+                                 / CAST(length(text) AS DOUBLE)
+                            ELSE 0.0 END * 4.0)) / 3.0, 4) < 0.55
+                        THEN 'low_quality'
+                    ELSE 'survived' END AS rule
+                FROM documents
+            ), c AS (
+                SELECT rule, count(*) AS n FROM v GROUP BY rule
+            ), dim(stage, rule) AS (
+                VALUES (1, 'too_short'), (2, 'wrong_lang'),
+                       (3, 'low_quality'), (4, 'survived')
+            )
+            SELECT stage, dim.rule,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS docs,
+                   CAST((SELECT count(*) FROM documents)
+                        - sum(CASE WHEN dim.rule <> 'survived'
+                                   THEN coalesce(c.n, 0) ELSE 0 END)
+                          OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS remaining
+            FROM dim LEFT JOIN c USING (rule)
+            ORDER BY stage
+        """.format(toks_lower=toks_lower, _EN=_EN),
         # weighted upsampling: identical md5 uniform + binary-exact
         # weight fractions -> exact (doc, epoch) multiset equality
         "upsample_corpus": """

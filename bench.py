@@ -104,6 +104,7 @@ HEADLINE_QUERIES = (
     "corpus_line_dedup",
     "upsample_corpus",
     "vocab_topk",
+    "curation_funnel",
 )
 
 

@@ -208,6 +208,67 @@ def stratified_sample(
     return docs.filter(u < rate)
 
 
+def curation_funnel(
+    docs: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Ordered filter funnel with per-rule attribution — the report
+    every production curation pipeline emits ("C4 dropped X% for
+    length, Y% for language, ...").
+
+    ``rules`` is an ordered list of ``(name, fail_condition)``; each
+    document is attributed to its FIRST failing rule (one CASE chain,
+    single scan — rules are never evaluated as separate passes).
+    Returns one row per rule plus a terminal ``survived`` row:
+    ``(stage, rule, docs, remaining)`` where ``remaining`` is the
+    corpus size after that stage.
+
+    Scale shape: the corpus sees exactly one projection + one hash
+    aggregate keyed on the (tiny) rule name; the cumulative-remaining
+    window runs over the RESULT table (``len(rules)+1`` rows), never
+    the corpus.
+    """
+    if not rules:
+        raise ValueError("curation_funnel needs at least one rule")
+    expr = F.when(rules[0][1], F.lit(rules[0][0]))
+    for name, cond in rules[1:]:
+        expr = expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit("survived"))
+    counts = (
+        docs.select(expr.alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+    dim = docs.sparkSession.createDataFrame(
+        [(i + 1, name) for i, (name, _) in enumerate(rules)]
+        + [(len(rules) + 1, "survived")],
+        "stage int, rule string",
+    )
+    joined = dim.join(counts, "rule", "left").withColumn(
+        "docs", F.coalesce(F.col("docs"), F.lit(0))
+    )
+    # windows over the (rules+1)-row result only
+    w_all = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    dropped = F.when(F.col("rule") != "survived", F.col("docs")).otherwise(
+        F.lit(0)
+    )
+    return (
+        joined.withColumn(
+            "remaining", F.sum("docs").over(w_all) - F.sum(dropped).over(w_cum)
+        )
+        .select(
+            "stage",
+            "rule",
+            F.col("docs").cast("long").alias("docs"),
+            F.col("remaining").cast("long").alias("remaining"),
+        )
+        .orderBy("stage")
+    )
+
+
 def upsample_corpus(
     docs: DataFrame,
     weights: dict[str, float],

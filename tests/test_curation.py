@@ -262,3 +262,71 @@ def test_upsample_rejects_negative_weight(spark):
     )
     with _pytest.raises(ValueError):
         upsample_corpus(df, {"s": -1.0})
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel
+# ---------------------------------------------------------------------------
+
+
+def test_curation_funnel_first_failing_rule_attribution(spark):
+    from dandi_s3_log_parser_spark.operators.curation import curation_funnel
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "en"),   # fails short AND lang-rule order -> too_short
+            (2, 500, "de"),  # wrong_lang
+            (3, 500, "en"),  # survives
+            (4, 5, "de"),    # too_short (first failing wins)
+            (5, 500, "en"),  # survives
+        ],
+        "doc_id long, n_chars long, lang string",
+    )
+    from pyspark.sql import functions as F2
+
+    rules = [
+        ("too_short", F2.col("n_chars") < 100),
+        ("wrong_lang", F2.col("lang") != "en"),
+    ]
+    rows = curation_funnel(df, rules).collect()
+    assert [(r["stage"], r["rule"], r["docs"], r["remaining"]) for r in rows] == [
+        (1, "too_short", 2, 3),
+        (2, "wrong_lang", 1, 2),
+        (3, "survived", 2, 2),
+    ]
+
+
+def test_curation_funnel_zero_drop_rule_still_reported(spark):
+    from pyspark.sql import functions as F2
+
+    from dandi_s3_log_parser_spark.operators.curation import curation_funnel
+
+    df = spark.createDataFrame([(1, 500, "en")], "doc_id long, n_chars long, lang string")
+    rows = curation_funnel(
+        df, [("too_short", F2.col("n_chars") < 100)]
+    ).collect()
+    assert [(r["rule"], r["docs"], r["remaining"]) for r in rows] == [
+        ("too_short", 0, 1),
+        ("survived", 1, 1),
+    ]
+
+
+def test_curation_funnel_single_scan(spark):
+    """All rules fold into one CASE projection — the corpus must be
+    scanned exactly once."""
+    from pyspark.sql import functions as F2
+
+    from dandi_s3_log_parser_spark.operators.curation import curation_funnel
+
+    df = spark.range(10).select(
+        F2.col("id").alias("doc_id"),
+        F2.lit(500).alias("n_chars"),
+        F2.lit("en").alias("lang"),
+    )
+    plan = (
+        curation_funnel(df, [("too_short", F2.col("n_chars") < 100)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Range (0, 10") == 1
