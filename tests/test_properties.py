@@ -120,3 +120,44 @@ def test_exact_duplicates_are_always_lsh_candidates_property(spark, docs):
     }
     for i, _ in enumerate(docs):
         assert (i, i + 1000) in pairs
+
+
+# weight<=1 upsampling must degenerate to EXACTLY the stratified
+# subsample drawn with the same salt — the two mixing operators share
+# one uniform, so the corpus a user downsamples then later re-mixes
+# with weights is bit-stable across the API choice
+mix_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # doc_id
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@pytest.mark.slow
+@PROP
+@given(rows=mix_strategy)
+def test_upsample_weight_le1_equals_stratified_sample_property(spark, rows):
+    from dandi_s3_log_parser_spark.operators.curation import (
+        stratified_sample,
+        upsample_corpus,
+    )
+
+    rates = {s: r for _, s, r in rows}  # last wins; any map is fine
+    df = spark.createDataFrame(
+        [(i, "txt", s) for i, s, _ in rows],
+        "doc_id long, text string, source string",
+    )
+    up = upsample_corpus(
+        df, rates, default_weight=0.0, salt="same-salt"
+    ).select("doc_id")
+    sub = stratified_sample(
+        df, rates, default_rate=0.0, salt="same-salt"
+    ).select("doc_id")
+    assert sorted(r["doc_id"] for r in up.collect()) == sorted(
+        r["doc_id"] for r in sub.collect()
+    )
