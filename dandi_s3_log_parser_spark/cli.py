@@ -126,6 +126,48 @@ def cmd_stream_reduce(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Document-corpus curation job: funnel filters -> exact dedup ->
+    optional corpus-level line dedup -> curated parquet + funnel
+    report.  The documents-side twin of ``pipeline``: same session
+    conventions, drivable under spark-submit with --py-files."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import quality_score
+    from .operators.curation import corpus_line_dedup, curation_funnel
+    from .operators.dedup import exact_dedup
+
+    spark = _build_session(args)
+    docs = spark.read.parquet(args.documents)
+    rules = [("too_short", F.length("text") < args.min_chars)]
+    if args.lang and "lang" in docs.columns:
+        rules.append(("wrong_lang", F.col("lang") != args.lang))
+    if args.min_quality > 0:
+        rules.append(
+            ("low_quality",
+             F.round(quality_score(F.col("text")), 4) < args.min_quality)
+        )
+    for row in curation_funnel(docs, rules).collect():  # rules+1 rows
+        print(f"curate: stage={row['stage']} rule={row['rule']} "
+              f"docs={row['docs']} remaining={row['remaining']}")
+
+    fail = F.lit(False)
+    for _, cond in rules:
+        fail = fail | cond
+    kept = docs.filter(~fail)
+    keep_ids = exact_dedup(kept, "text", "doc_id").select("doc_id")
+    kept = kept.join(keep_ids, "doc_id", "left_semi")
+    if args.line_df_limit is not None:
+        lines = corpus_line_dedup(kept, max_doc_freq=args.line_df_limit)
+        kept = kept.drop("text").join(
+            lines.select("doc_id", "text"), "doc_id"
+        )
+    kept.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"curate: wrote {n} curated docs to {args.out}")
+    return 0
+
+
 def cmd_lineage(args) -> int:
     from .plans.lineage import LineageLog
     from .sources.tables import Catalog
@@ -185,6 +227,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--timeout", type=int, default=600,
                    help="drain-mode wait seconds")
     s.set_defaults(fn=cmd_stream_reduce)
+
+    c = sub.add_parser(
+        "curate",
+        help="document-corpus curation: funnel -> dedup -> line dedup",
+    )
+    c.add_argument("--documents", required=True, help="documents parquet path")
+    c.add_argument("--out", required=True, help="curated parquet output dir")
+    c.add_argument("--min-chars", type=int, default=100)
+    c.add_argument("--lang", default=None,
+                   help="keep only this language (needs a lang column)")
+    c.add_argument("--min-quality", type=float, default=0.0,
+                   help="drop docs whose round-4 quality score is below this")
+    c.add_argument("--line-df-limit", type=int, default=None,
+                   help="strip lines occurring in more than this many docs")
+    c.set_defaults(fn=cmd_curate)
 
     li = sub.add_parser("lineage", help="show the lineage/checkpoint table")
     li.add_argument("--warehouse", required=True)

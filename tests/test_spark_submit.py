@@ -61,3 +61,39 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
         assert any((wh / table).rglob("*.parquet")), table
 
     shutil.rmtree(tmp_path / "data", ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_curate_cli_end_to_end(tmp_path):
+    """The curate subcommand drives funnel -> dedup -> line dedup and
+    writes a curated parquet through the same CLI surface as pipeline."""
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dandi_s3_log_parser_spark.cli",
+            "--local-cores", "4",
+            "curate",
+            "--documents", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--min-chars", "100",
+            "--lang", "en",
+            "--line-df-limit", "3",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("curate:")]
+    assert any("rule=too_short" in ln for ln in lines)
+    assert any("rule=survived" in ln for ln in lines)
+    assert lines[-1].startswith("curate: wrote ")
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert 0 < n < 500  # sf0.001 has 500 docs; the funnel dropped some
+    cols = {
+        c[0]
+        for c in duckdb.sql(
+            f"DESCRIBE SELECT * FROM '{out}/*.parquet'"
+        ).fetchall()
+    }
+    assert {"doc_id", "text"} <= cols
