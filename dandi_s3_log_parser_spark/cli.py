@@ -139,13 +139,23 @@ def cmd_curate(args) -> int:
 
     spark = _build_session(args)
     docs = spark.read.parquet(args.documents)
-    rules = [("too_short", F.length("text") < args.min_chars)]
+    # every condition is coalesced to FALSE so a NULL input (NULL text
+    # / NULL lang) means "rule does not fail" in BOTH places this list
+    # is consumed: curation_funnel's first-failing CASE chain (where
+    # WHEN NULL already falls through to 'survived') and the keep
+    # filter below (where a bare `~(c1|c2|...)` would turn NULL rows
+    # into NULL -> silently dropped while the funnel counted them as
+    # surviving — the report and the written output must agree)
+    def _rule(name, cond):
+        return (name, F.coalesce(cond, F.lit(False)))
+
+    rules = [_rule("too_short", F.length("text") < args.min_chars)]
     if args.lang and "lang" in docs.columns:
-        rules.append(("wrong_lang", F.col("lang") != args.lang))
+        rules.append(_rule("wrong_lang", F.col("lang") != args.lang))
     if args.min_quality > 0:
         rules.append(
-            ("low_quality",
-             F.round(quality_score(F.col("text")), 4) < args.min_quality)
+            _rule("low_quality",
+                  F.round(quality_score(F.col("text")), 4) < args.min_quality)
         )
     for row in curation_funnel(docs, rules).collect():  # rules+1 rows
         print(f"curate: stage={row['stage']} rule={row['rule']} "
@@ -219,7 +229,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--pages", required=True, help="pages directory to stream from")
     s.add_argument("--dims", default=None,
                    help="dimension dir (for excluded_ips); optional")
-    s.add_argument("--warehouse", required=True)
+    s.add_argument("--warehouse", required=True,
+                   help="warehouse root; must be NEW (with a new "
+                        "--checkpoint) when upgrading across the "
+                        "reduced_stream rclass-layout change — see "
+                        "streaming/stream_reduce.py module docs")
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--iceberg-catalog", default=None)
     s.add_argument("--follow", action="store_true",

@@ -172,11 +172,18 @@ def pii_phone_count(text: Column) -> Column:
 def pii_redact(text: Column) -> Column:
     """Replace every email / phone match with a typed placeholder.
 
-    Phone first: the email pattern cannot match a digits-and-dashes
-    span, so the two passes are order-independent in effect, but a
-    fixed order keeps the output bytes deterministic by construction.
-    Pure ``regexp_replace`` — native codegen, no UDF, streams at scan
-    speed over 10^12 docs.
+    Email first, phone second — this order is the safe one: the phone
+    pattern (digits and dashes) can never match inside an inserted
+    ``<EMAIL>`` token, whereas phone-first would rewrite a phone-shaped
+    span inside an email local part (``555-867-5309@example.com`` ->
+    ``<PHONE>@example.com``), break the email match, and leave the
+    ``@domain`` remnant unredacted (ADVICE r3).  Overlap caveat: for
+    such a span the email pass consumes the whole address, so
+    ``pii_phone_count`` (computed on the raw text) can exceed the
+    number of ``<PHONE>`` tokens in the output — the counts are match
+    counts on the input, not placeholder counts on the output.  Pure
+    ``regexp_replace`` — native codegen, no UDF, streams at scan speed
+    over 10^12 docs.
     """
-    no_phone = F.regexp_replace(text, PII_PHONE_RE, "<PHONE>")
-    return F.regexp_replace(no_phone, PII_EMAIL_RE, "<EMAIL>")
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")

@@ -19,6 +19,16 @@ partition column (writing them as two actions would re-run the whole
 parse chain once per microbatch).  No error line is ever dropped —
 reference ``_error_collection.py:7-40`` semantics.  Read the slices
 back with :func:`read_stream_reduced` / :func:`read_stream_errors`.
+
+.. warning:: layout break vs the pre-round-3 version.  ``reduced_stream``
+   changed from day-partitioned kept-rows-only to (day, ``rclass``)-
+   partitioned with added ``url``-nulling / ``parse_status`` columns.  A
+   checkpoint or warehouse written by the old layout must NOT be resumed
+   with this version: appending the new layout under the old table root
+   leaves files both inside and outside ``rclass=...`` directories, and
+   Spark's parquet partition discovery fails on the conflicting
+   structure.  Start a NEW checkpoint directory and a NEW warehouse (or
+   table name) when upgrading across that boundary (ADVICE r3).
 """
 
 from __future__ import annotations

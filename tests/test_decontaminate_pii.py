@@ -113,6 +113,25 @@ def test_pii_counts_and_redact(spark):
     assert out[4]["red"] == "both <EMAIL> and <PHONE>"
 
 
+def test_pii_redact_phone_inside_email_local_part(spark):
+    """Email-first ordering (ADVICE r3): a phone-shaped span inside an
+    email local part must be consumed by the email redaction — no
+    '<PHONE>@domain' remnant may survive.  The documented overlap
+    caveat is also pinned: pii_phone_count (a match count on the raw
+    input) sees the span, while the output carries no <PHONE> token."""
+    df = spark.createDataFrame(
+        [(1, "reach 555-867-5309@example.com today")], "id long, t string"
+    )
+    row = df.select(
+        pii_email_count(F.col("t")).alias("e"),
+        pii_phone_count(F.col("t")).alias("p"),
+        pii_redact(F.col("t")).alias("red"),
+    ).first()
+    assert row["red"] == "reach <EMAIL> today"
+    assert "@" not in row["red"].replace("<EMAIL>", "")
+    assert (row["e"], row["p"]) == (1, 1)  # counts are input-match counts
+
+
 def test_pii_path_is_native(spark):
     """No BatchEvalPython / ArrowEvalPython in the PII plan — the whole
     redaction must run inside whole-stage codegen."""

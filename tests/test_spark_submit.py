@@ -97,3 +97,51 @@ def test_curate_cli_end_to_end(tmp_path):
         ).fetchall()
     }
     assert {"doc_id", "text"} <= cols
+
+
+@pytest.mark.slow
+def test_curate_cli_null_lang_report_matches_output(tmp_path):
+    """A NULL rule input (here lang IS NULL under --lang en) must mean
+    "rule does not fail" in BOTH the funnel report and the written
+    output: the CASE chain counts such docs as survived, and the keep
+    filter coalesces each condition to FALSE so `~(c1|c2)` cannot turn
+    NULL into a silent drop (ADVICE r3, medium)."""
+    import duckdb
+
+    docs = tmp_path / "docs.parquet"
+    duckdb.sql(
+        "COPY (SELECT i AS doc_id, "
+        "  repeat('word' || CAST(i AS VARCHAR) || ' ', 60) AS text, "
+        "  CASE WHEN i % 3 = 0 THEN NULL ELSE 'en' END AS lang "
+        "FROM range(30) t(i)) TO '" + str(docs) + "' (FORMAT PARQUET)"
+    )
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dandi_s3_log_parser_spark.cli",
+            "--local-cores", "4",
+            "curate",
+            "--documents", str(docs),
+            "--out", str(out),
+            "--min-chars", "100",
+            "--lang", "en",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    survived = next(
+        int(ln.rsplit("remaining=", 1)[1])
+        for ln in r.stdout.splitlines()
+        if ln.startswith("curate:") and "rule=survived" in ln
+    )
+    written = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/*.parquet'"
+    ).fetchone()[0]
+    # all 30 texts are unique and long, so dedup drops nothing: the
+    # funnel's survived count and the written output must agree, and
+    # the 10 NULL-lang docs must be present (not silently dropped)
+    assert survived == written == 30
+    nulls = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/*.parquet' WHERE lang IS NULL"
+    ).fetchone()[0]
+    assert nulls == 10
