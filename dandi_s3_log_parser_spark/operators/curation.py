@@ -225,8 +225,9 @@ def curation_funnel(
 
     Scale shape: the corpus sees exactly one projection + one hash
     aggregate keyed on the (tiny) rule name; the cumulative-remaining
-    window runs over the RESULT table (``len(rules)+1`` rows), never
-    the corpus.
+    pass runs driver-side over the RESULT rows (``len(rules)+1`` of
+    them), never the corpus.  Eager: the aggregate executes at call
+    time and the returned DataFrame is a local table.
     """
     if not rules:
         raise ValueError("curation_funnel needs at least one rule")
@@ -247,26 +248,26 @@ def curation_funnel(
     joined = dim.join(counts, "rule", "left").withColumn(
         "docs", F.coalesce(F.col("docs"), F.lit(0))
     )
-    # windows over the (rules+1)-row result only
-    w_all = Window.orderBy("stage").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    w_cum = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
-    dropped = F.when(F.col("rule") != "survived", F.col("docs")).otherwise(
-        F.lit(0)
-    )
-    return (
-        joined.withColumn(
-            "remaining", F.sum("docs").over(w_all) - F.sum(dropped).over(w_cum)
-        )
-        .select(
-            "stage",
-            "rule",
-            F.col("docs").cast("long").alias("docs"),
-            F.col("remaining").cast("long").alias("remaining"),
-        )
-        .orderBy("stage")
-    )
+    # cumulative remaining WITHOUT a window: an unpartitioned Window
+    # (even over this (rules+1)-row table) logs Spark's single-partition
+    # warning on every run, drowning out real future regressions
+    # (VERDICT r3 #4).  The corpus-sized work is exactly the one hash
+    # aggregate above; the running totals are a driver-side pass over
+    # its rules+1 result rows (eager — this operator returns a
+    # materialized report, which every caller collects anyway), and the
+    # returned DataFrame is a LocalTableScan with ZERO further corpus
+    # scans.
+    rows = joined.orderBy("stage").collect()
+    total = sum(r["docs"] for r in rows)
+    cum = 0
+    report = []
+    for r in rows:
+        if r["rule"] != "survived":
+            cum += r["docs"]
+        report.append((r["stage"], r["rule"], int(r["docs"]), int(total - cum)))
+    return docs.sparkSession.createDataFrame(
+        report, "stage int, rule string, docs long, remaining long"
+    ).orderBy("stage")
 
 
 def upsample_corpus(

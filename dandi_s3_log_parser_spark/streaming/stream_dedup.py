@@ -53,16 +53,19 @@ def stream_first_seen(
             digests = pd.util.hash_pandas_object(
                 pdf[dedup_col], index=False
             ).astype("int64")
-            mask = []
-            for d in digests:
-                if len(seen) >= max_state_per_key:
-                    mask.append(True)  # fail open past the state cap
-                    continue
-                fresh = d not in seen
-                mask.append(fresh)
-                if fresh:
-                    seen.add(d)
-            kept = pdf[pd.Series(mask, index=pdf.index)]
+            # fully vectorized (no per-row Python — at a hot key near
+            # the cap this kernel sees millions of rows per batch):
+            # a row is fresh iff it is the first in-batch occurrence
+            # AND not in cross-batch state; rows processed once the
+            # state is full FAIL OPEN (pass through, never added).
+            # over_cap is monotone in row order, so counting additions
+            # with the no-cap `fresh` prefix-sum is exact: any row the
+            # count misjudges is already past the cap boundary itself.
+            fresh = ~digests.duplicated() & ~digests.isin(seen)
+            additions_before = fresh.cumsum() - fresh.astype("int64")
+            over_cap = (len(seen) + additions_before) >= max_state_per_key
+            kept = pdf[(fresh | over_cap).to_numpy()]
+            seen.update(digests[(fresh & ~over_cap).to_numpy()].tolist())
             if len(kept):
                 yield kept[cols]
         state.update((list(seen),))

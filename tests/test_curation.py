@@ -329,4 +329,9 @@ def test_curation_funnel_single_scan(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Range (0, 10") == 1
+    # the single corpus scan happens eagerly at construction (one CASE
+    # projection + hash aggregate); the returned report is a local
+    # table — its plan must contain NO corpus scan and NO Window
+    assert plan.count("Range (0, 10") == 0
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    assert "Window" not in plan

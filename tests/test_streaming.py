@@ -155,6 +155,55 @@ def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
     assert got == want
 
 
+def test_stream_first_seen_cap_boundary_within_batch(spark, tmp_path):
+    """Fail-open must engage mid-batch exactly when the state fills
+    (cap=2): rows before the boundary dedup normally, rows at/after it
+    pass through AND are never added to state — pinned by a second
+    batch where the over-cap value passes again but the stored values
+    still dedup."""
+    from dandi_s3_log_parser_spark.streaming.stream_dedup import stream_first_seen
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def drain():
+        stream = spark.readStream.schema("ip string, key string").parquet(str(src))
+        q = (
+            stream_first_seen(
+                stream, key_col="ip", dedup_col="key", max_state_per_key=2
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    batch1 = [("a", "k0"), ("a", "k0"), ("a", "k1"), ("a", "k1"), ("a", "k2")]
+    spark.createDataFrame(batch1, "ip string, key string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    got1 = sorted(r["key"] for r in spark.read.parquet(str(out)).collect())
+    # k0 fresh; k0 repeat deduped (state size 1 < 2); k1 fresh fills the
+    # state; k1 repeat and k2 fail open
+    assert got1 == ["k0", "k1", "k1", "k2"]
+
+    # second batch: the state is full, so EVERY row fails open — even
+    # k0/k1 which are in state (the cap check precedes the membership
+    # check, exactly the pre-vectorization semantics) — and nothing is
+    # added (k2 stays out of state)
+    batch2 = [("a", "k0"), ("a", "k1"), ("a", "k2")]
+    spark.createDataFrame(batch2, "ip string, key string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    got2 = sorted(r["key"] for r in spark.read.parquet(str(out)).collect())
+    assert got2 == ["k0", "k0", "k1", "k1", "k1", "k2", "k2"]
+
+
 def test_stream_first_seen_fails_open_past_cap(spark, tmp_path):
     """Beyond max_state_per_key the operator passes rows through
     (bounded state beats silent unbounded growth at scale)."""
