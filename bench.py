@@ -6,10 +6,19 @@ pipeline on a deterministic synthetic pages table (the BASELINE.json
 north-star metric, reported as docs/sec), and (b) per-query seconds for
 the headline operator queries on $SPARK_GRAFT_SF_DIR.
 
+Protocol (round 4): min-of-K trials per measurement with per-trial
+executor-CPU seconds from the REST status API.  This box carries a
+documented 5-15-core external background load, so a single trial
+cannot distinguish a regression from noise: wall clock inflates under
+load, executor CPU does not (±JIT) — `queries` reports the min trial,
+`trials`/`cpu_s` report every trial so a drift can be adjudicated from
+the recorded data instead of re-run folklore.
+
 Env:
   SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
   SPARK_GRAFT_CPUS     default 32
   BENCH_PAGES          synthetic pages row count (default 200000)
+  BENCH_TRIALS         trials per query / steady pipeline pass (default 3)
 
 Scaling evidence (N vs 4N parallelism) lives in bench_scaling.py and
 BENCH.md; this script is the driver-facing single-line benchmark.
@@ -19,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -55,27 +65,54 @@ def _ensure_bench_pages(spark, n_pages: int, seed: int = 42):
     return spark.read.parquet(str(path)), dims
 
 
-def bench_pipeline(spark, n_pages: int) -> tuple[float, float, float]:
-    """(cold_sec, steady_sec, steady_docs_per_sec): the first pass pays
-    JIT/codegen/Python-worker startup; the second is the steady-state
-    regime a long-lived cluster runs in."""
+def _executor_cpu_s(spark) -> float:
+    """Executor CPU seconds summed over completed stages (REST status
+    API — same accounting as bench_scaling.py).  Requires
+    spark.ui.enabled=true; returns -1.0 if the API is unreachable so a
+    UI hiccup never kills the benchmark line."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as resp:
+            stages = json.load(resp)
+        return sum(s.get("executorCpuTime", 0) for s in stages) / 1e9
+    except Exception:
+        return -1.0
+
+
+def bench_pipeline(spark, n_pages: int, trials: int):
+    """(cold_sec, steady_secs[], steady_cpu_s[]): the first pass pays
+    JIT/codegen/Python-worker startup; the steady passes are the regime
+    a long-lived cluster runs in, measured `trials` times."""
     import shutil
 
     from dandi_s3_log_parser_spark.plans.pipeline import PipelineConfig, run_pipeline
     from dandi_s3_log_parser_spark.sources.tables import Catalog
 
     pages, dims = _ensure_bench_pages(spark, n_pages)
-    secs = []
-    for run in ("cold", "steady"):
+
+    def one_pass(tag):
         wh = WORK / "bench_warehouse"
         shutil.rmtree(wh, ignore_errors=True)
         catalog = Catalog(spark, wh)
+        cpu0 = _executor_cpu_s(spark)
         t0 = time.perf_counter()
         run_pipeline(
-            spark, catalog, pages, dims, PipelineConfig(), f"bench-{run}", resume=False
+            spark, catalog, pages, dims, PipelineConfig(), f"bench-{tag}", resume=False
         )
-        secs.append(time.perf_counter() - t0)
-    return secs[0], secs[1], n_pages / secs[1]
+        wall = time.perf_counter() - t0
+        cpu1 = _executor_cpu_s(spark)
+        cpu = round(cpu1 - cpu0, 3) if cpu0 >= 0 and cpu1 >= 0 else -1.0
+        return round(wall, 3), cpu
+
+    cold_sec, _ = one_pass("cold")
+    steady = [one_pass(f"steady{i}") for i in range(trials)]
+    return cold_sec, [s for s, _ in steady], [c for _, c in steady]
 
 
 HEADLINE_QUERIES = (
@@ -112,17 +149,26 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("BENCH_PAGES", "200000"))
+    n_trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
     from dandi_s3_log_parser_spark.session import get_spark
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    spark = get_spark(
+        "bench", cpus=cpus, shuffle_partitions=cpus,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
 
     queries: dict[str, float] = {}
-    cold_sec, steady_sec, docs_per_sec = bench_pipeline(spark, n_pages)
-    queries["pipeline_e2e"] = round(cold_sec, 3)
-    queries["pipeline_e2e_steady"] = round(steady_sec, 3)
+    trials: dict[str, list[float]] = {}
+    cpu_s: dict[str, list[float]] = {}
+
+    cold_sec, steady_secs, steady_cpu = bench_pipeline(spark, n_pages, n_trials)
+    queries["pipeline_e2e"] = cold_sec
+    queries["pipeline_e2e_steady"] = min(steady_secs)
+    trials["pipeline_e2e_steady"] = steady_secs
+    cpu_s["pipeline_e2e_steady"] = steady_cpu
 
     registry = entrymod.queries()
     for name in HEADLINE_QUERIES:
@@ -131,24 +177,38 @@ def main() -> None:
         # dedup_clusters' label-propagation loop) do their real work at
         # construction, so timing only the final action would underreport
         # them; for pure-lazy plans construction adds only milliseconds
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        ts, cs = [], []
+        for _ in range(n_trials):
+            cpu0 = _executor_cpu_s(spark)
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            ts.append(round(time.perf_counter() - t0, 3))
+            cpu1 = _executor_cpu_s(spark)
+            cs.append(round(cpu1 - cpu0, 3) if cpu0 >= 0 and cpu1 >= 0 else -1.0)
+        queries[name] = min(ts)
+        trials[name] = ts
+        cpu_s[name] = cs
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
-                "metric": f"e2e parse->enrich->route->aggregate on {n_pages} synthetic docs + headline operator queries",
+                "metric": f"e2e parse->enrich->route->aggregate on {n_pages} synthetic docs + headline operator queries (min of {n_trials} trials)",
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "trials": trials,
+                "cpu_s": cpu_s,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "docs_per_sec": round(docs_per_sec, 1),
+                "docs_per_sec": round(n_pages / min(steady_secs), 1),
+                "docs_per_sec_median": round(
+                    n_pages / statistics.median(steady_secs), 1
+                ),
                 "pipeline_docs": n_pages,
                 "cpus": cpus,
+                "n_trials": n_trials,
             }
         )
     )

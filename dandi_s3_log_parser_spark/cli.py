@@ -127,10 +127,11 @@ def cmd_stream_reduce(args) -> int:
 
 
 def cmd_curate(args) -> int:
-    """Document-corpus curation job: funnel filters -> exact dedup ->
-    optional corpus-level line dedup -> curated parquet + funnel
-    report.  The documents-side twin of ``pipeline``: same session
-    conventions, drivable under spark-submit with --py-files."""
+    """Document-corpus curation job: funnel filters -> optional
+    benchmark decontamination -> exact dedup -> optional corpus-level
+    line dedup -> curated parquet + funnel report.  The documents-side
+    twin of ``pipeline``: same session conventions, drivable under
+    spark-submit with --py-files."""
     from pyspark.sql import functions as F
 
     from .functions.text import quality_score
@@ -157,14 +158,35 @@ def cmd_curate(args) -> int:
             _rule("low_quality",
                   F.round(quality_score(F.col("text")), 4) < args.min_quality)
         )
+    survived = 0
     for row in curation_funnel(docs, rules).collect():  # rules+1 rows
         print(f"curate: stage={row['stage']} rule={row['rule']} "
               f"docs={row['docs']} remaining={row['remaining']}")
+        if row["rule"] == "survived":
+            survived = row["remaining"]
+    n_stages = len(rules) + 1
 
     fail = F.lit(False)
     for _, cond in rules:
         fail = fail | cond
     kept = docs.filter(~fail)
+
+    if args.benchmark:
+        from .operators.decontaminate import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        bad_ids = (
+            decontaminate(kept, bench, n=args.decontam_ngram)
+            .filter("contaminated")
+            .select("doc_id")
+        )
+        n_bad = bad_ids.count()
+        kept = kept.join(bad_ids, "doc_id", "left_anti")
+        survived -= n_bad
+        n_stages += 1
+        print(f"curate: stage={n_stages} rule=benchmark_contaminated "
+              f"docs={n_bad} remaining={survived}")
+
     keep_ids = exact_dedup(kept, "text", "doc_id").select("doc_id")
     kept = kept.join(keep_ids, "doc_id", "left_semi")
     if args.line_df_limit is not None:
@@ -244,7 +266,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser(
         "curate",
-        help="document-corpus curation: funnel -> dedup -> line dedup",
+        help="document-corpus curation: funnel -> decontaminate -> "
+             "dedup -> line dedup",
     )
     c.add_argument("--documents", required=True, help="documents parquet path")
     c.add_argument("--out", required=True, help="curated parquet output dir")
@@ -253,6 +276,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep only this language (needs a lang column)")
     c.add_argument("--min-quality", type=float, default=0.0,
                    help="drop docs whose round-4 quality score is below this")
+    c.add_argument("--benchmark", default=None,
+                   help="benchmark/eval parquet (text column); docs sharing "
+                        "word n-grams with it are dropped (decontamination)")
+    c.add_argument("--decontam-ngram", type=int, default=3,
+                   help="n-gram size for --benchmark overlap (GPT-3-style "
+                        "pipelines use ~13 on real prose)")
     c.add_argument("--line-df-limit", type=int, default=None,
                    help="strip lines occurring in more than this many docs")
     c.set_defaults(fn=cmd_curate)

@@ -100,6 +100,57 @@ def test_curate_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_curate_cli_with_decontamination(tmp_path):
+    """The full one-command curation story: funnel -> benchmark
+    decontamination -> exact dedup -> line dedup.  The benchmark is 5
+    verbatim corpus texts, so those docs (where funnel-surviving) are
+    guaranteed contaminated and must be absent from the output."""
+    import duckdb
+
+    docs_src = "/root/testdata/sf0.001/documents.parquet"
+    bench = tmp_path / "bench.parquet"
+    duckdb.sql(
+        f"COPY (SELECT text FROM '{docs_src}' ORDER BY doc_id LIMIT 5) "
+        f"TO '{bench}' (FORMAT PARQUET)"
+    )
+    contaminated_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{docs_src}' ORDER BY doc_id LIMIT 5"
+        ).fetchall()
+    ]
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dandi_s3_log_parser_spark.cli",
+            "--local-cores", "4",
+            "curate",
+            "--documents", docs_src,
+            "--out", str(out),
+            "--min-chars", "100",
+            "--benchmark", str(bench),
+            "--decontam-ngram", "3",
+            "--line-df-limit", "3",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    decon = next(
+        ln for ln in r.stdout.splitlines()
+        if ln.startswith("curate:") and "rule=benchmark_contaminated" in ln
+    )
+    n_bad = int(decon.split("docs=")[1].split()[0])
+    assert n_bad > 0  # verbatim benchmark texts must be flagged
+    ids = {
+        row[0]
+        for row in duckdb.sql(
+            f"SELECT doc_id FROM '{out}/*.parquet'"
+        ).fetchall()
+    }
+    assert not (ids & set(contaminated_ids))
+
+
+@pytest.mark.slow
 def test_curate_cli_null_lang_report_matches_output(tmp_path):
     """A NULL rule input (here lang IS NULL under --lang en) must mean
     "rule does not fail" in BOTH the funnel report and the written
