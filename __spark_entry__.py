@@ -1040,6 +1040,25 @@ def q_multimodal_decode(spark, sf):
     )
 
 
+def q_png_decode(spark, sf):
+    """Real (pure-stdlib) PNG codec path: synthetic standards-valid
+    PNGs -> chunk-walk + zlib-inflated-IDAT decode -> per-payload
+    stats.  The oracle recomputes every statistic in closed form from
+    the planted media_id arithmetic (and byte_len from the exchanged
+    payload bytes), so a decoder bug cannot self-confirm."""
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        decode_png_stats,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(spark, 300)
+    if _is_oracle_sf(sf):
+        _publish_exchange(
+            "png_media", media.select("media_id", "payload").toPandas()
+        )
+    return decode_png_stats(media).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "reduce_filter_project": q_reduce_filter_project,
@@ -1084,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "pages_pipeline": q_pages_pipeline,
         "multimodal_decode": q_multimodal_decode,
+        "png_decode": q_png_decode,
         "repetition_metrics": q_repetition_metrics,
         "top_bigram_fraction": q_top_bigram_fraction,
         "hash_split": q_hash_split,
@@ -1581,6 +1601,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS duration_ms,
                    1 AS n_frames
             FROM read_parquet('{_exchange_path("multimodal_media")}')
+        """,
+        # real PNG decode verified arithmetically: width/height/content
+        # are planted as pure functions of media_id (synthetic_png_media
+        # docstring), so DuckDB recomputes the decoded stats WITHOUT a
+        # PNG parser; byte_len comes from the exchanged payload bytes
+        "png_decode": f"""
+            SELECT media_id,
+                   CAST(octet_length(payload) AS BIGINT) AS byte_len,
+                   CAST(8 + media_id % 13 AS INT) AS width,
+                   CAST(8 + media_id % 11 AS INT) AS height,
+                   CAST((8 + media_id % 11) * (8 + media_id % 13 + 1)
+                        AS BIGINT) AS inflated_len,
+                   CAST((8 + media_id % 11) * (8 + media_id % 13)
+                        * ((media_id * 37) % 256) AS BIGINT) AS idat_byte_sum
+            FROM read_parquet('{_exchange_path("png_media")}')
+            ORDER BY media_id
         """,
         # Gopher duplicate-line rules: explode lines, count per (doc,
         # line), aggregate; docs with no non-empty lines report zeros.

@@ -3,18 +3,22 @@
 Media payloads are opaque ``binary`` columns with typed metadata; the
 decode/feature kernels run as Arrow-batched ``mapInPandas`` operators so
 the Spark-side contract (schema, batch shape, partitioning) is real and
-tested even though the codec libraries are absent in this container.
+tested even though most codec libraries are absent in this container.
 
-STUB BOUNDARY: ``decode_fn='real'`` raises ``NotImplementedError`` —
-plug Pillow/torchaudio/ffmpeg there on a real cluster.  The default
-``decode_fn='fake'`` is a deterministic stand-in (dimensions/duration
-derived from a stable hash of the payload) so the distributed plumbing
-is exercised end-to-end.
+STUB BOUNDARY: ``decode_fn='real'`` genuinely decodes **PNG** payloads
+with a pure-stdlib parser (IHDR header + zlib-inflated IDAT — see
+:func:`_decode_png`) and raises ``NotImplementedError`` for every other
+format — plug Pillow/torchaudio/ffmpeg there on a real cluster.  The
+default ``decode_fn='fake'`` is a deterministic stand-in
+(dimensions/duration derived from a stable hash of the payload) so the
+distributed plumbing is exercised end-to-end on arbitrary bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -39,6 +43,65 @@ DECODED_SCHEMA = (
 )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(width: int, height: int, gray: int) -> bytes:
+    """Minimal valid 8-bit grayscale PNG (pure stdlib) — constant pixel
+    value ``gray``, filter type 0 per scanline.  Used by tests and the
+    synthetic media generator; any standards-compliant decoder reads it.
+    """
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes([gray]) * width) * height
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """Real pure-stdlib PNG decode: ``(width, height, inflated_len,
+    idat_byte_sum)``.
+
+    Walks the chunk stream (length + type + data + crc), reads the
+    dimensions from IHDR, concatenates every IDAT chunk and zlib-
+    inflates it; the inflated length and byte sum are the deterministic
+    content statistics the DuckDB oracle recomputes in closed form for
+    planted images.  Raises ``ValueError`` on a non-PNG payload.
+    """
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width, height = 8, None, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc32
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(bytes(idat))
+    byte_sum = int(np.frombuffer(raw, dtype=np.uint8).sum(dtype=np.int64))
+    return width, height, len(raw), byte_sum
+
+
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, int]:
     """Deterministic fake decode: stable pseudo-dimensions from content."""
     h = hashlib.sha256(payload).digest()
@@ -60,14 +123,20 @@ def decode_media(media: DataFrame, *, decode_fn: str = "fake") -> DataFrame:
 
     use_real = decode_fn == "real"
 
+    def _real_decode(payload: bytes, kind: str) -> tuple[int, int, int, int]:
+        if payload[:8] == PNG_MAGIC:
+            width, height, _, _ = _decode_png(payload)
+            return width, height, 0, 1
+        raise NotImplementedError(
+            "real decoding is implemented in pure stdlib for PNG only; "
+            "other formats require codec libraries (Pillow/ffmpeg) that "
+            "are not installed — use decode_fn='fake' for those"
+        )
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real:
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries (Pillow/"
-                    "ffmpeg) that are not installed; use decode_fn='fake'"
-                )
-            dims = [_fake_decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            decode = _real_decode if use_real else _fake_decode
+            dims = [decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
             arr = np.array(dims, dtype=np.int64).reshape(len(pdf), 4)
             yield pd.DataFrame(
                 {
@@ -83,6 +152,69 @@ def decode_media(media: DataFrame, *, decode_fn: str = "fake") -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+PNG_STATS_SCHEMA = (
+    "media_id long, byte_len long, width int, height int, "
+    "inflated_len long, idat_byte_sum long"
+)
+
+
+def synthetic_png_media(spark, n: int) -> DataFrame:
+    """Distributed generator of REAL (standards-valid) PNG payloads with
+    planted dimensions/content — pure integer arithmetic in ``media_id``
+    so an independent engine can recompute every decoded statistic in
+    closed form without parsing PNG:
+
+    * ``width  = 8 + media_id % 13``
+    * ``height = 8 + media_id % 11``
+    * constant gray value ``(media_id * 37) % 256``
+    * hence ``inflated_len = height * (width + 1)`` (filter byte per
+      scanline) and ``idat_byte_sum = height * width * gray``.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads = [
+                make_png(8 + int(i) % 13, 8 + int(i) % 11, (int(i) * 37) % 256)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "source_url": [f"synthetic://png/{i}" for i in ids],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_png_stats(media: DataFrame) -> DataFrame:
+    """Real PNG decode over a media table (Arrow-batched mapInPandas):
+    header dimensions plus zlib-inflated IDAT statistics per payload.
+    This is the non-stub codec path — it fails loudly on non-PNG bytes.
+    """
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_decode_png(p) for p in pdf["payload"]]
+            arr = np.array(stats, dtype=np.int64).reshape(len(pdf), 4)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": pdf["payload"].str.len().astype("int64"),
+                    "width": arr[:, 0].astype("int32"),
+                    "height": arr[:, 1].astype("int32"),
+                    "inflated_len": arr[:, 2],
+                    "idat_byte_sum": arr[:, 3],
+                }
+            )
+
+    return media.mapInPandas(batches_fn, schema=PNG_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_index int, frame_ms long"

@@ -17,11 +17,14 @@ preserves the two properties the pipeline relies on:
 On a real cluster, set ``iceberg_catalog`` to a configured catalog name
 and the same API writes `catalog.db.table` identifiers instead.
 
-Real-Iceberg status (attempted 2026-08-17): no ``iceberg-spark-runtime``
-jar ships with this sandbox's Spark (``/opt/spark/jars`` and the pyspark
-wheel both lack it) and the box has no network route (DNS resolution
-fails for both the pip index and repo1.maven.org), so the jar cannot be
-vendored in.  The Iceberg branch is therefore verified by recorder-mock
+Real-Iceberg status (attempted 2026-08-17, re-attempted 2026-08-17
+round 4: pyspark jar dir still has no iceberg artifact, a filesystem-wide
+``*iceberg*jar*`` search finds nothing, and DNS resolution still fails
+for repo1.maven.org — no route to vendor the jar): no
+``iceberg-spark-runtime`` jar ships with this sandbox's Spark
+(``/opt/spark/jars`` and the pyspark wheel both lack it) and the box has
+no network route (DNS resolution fails for both the pip index and
+repo1.maven.org), so the jar cannot be vendored in.  The Iceberg branch is therefore verified by recorder-mock
 call-sequence tests (``tests/test_round2_scale_fixes.py``,
 ``tests/test_round3_hardening.py``) plus a gated integration test
 (``tests/test_iceberg_integration.py``, ``@pytest.mark.iceberg``) that
@@ -103,15 +106,38 @@ class Catalog:
                     cols = [F.col(c) for c in partition_by]
                     writer = writer.partitionedBy(cols[0], *cols[1:])
                 writer.create()
-            elif mode == "append":
-                writer.append()
             else:
-                writer.overwritePartitions()
+                self._evolve_schema(df, name)
+                if mode == "append":
+                    writer.append()
+                else:
+                    writer.overwritePartitions()
             return
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(name))
+
+    def _evolve_schema(self, df: DataFrame, name: str) -> None:
+        """Iceberg schema evolution: ``ADD COLUMNS`` for fields present
+        in the incoming frame but missing from the table — the first
+        migration a long-lived deployment hits (a new lineage metric
+        column).  Iceberg's add-column is a metadata-only commit, and
+        rows from earlier snapshots read the new column as NULL.
+        Drops/renames are deliberately NOT automated (destructive —
+        run them as explicit ALTERs).  The parquet fallback does not
+        need this call for writes (parquet files are self-describing),
+        but mixed-schema fallback tables should be read with
+        ``mergeSchema`` if an old partition must expose new columns.
+        """
+        ident = self._ident(name)
+        existing = {f.name for f in self.spark.read.table(ident).schema.fields}
+        new = [f for f in df.schema.fields if f.name not in existing]
+        if new:
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in new
+            )
+            self.spark.sql(f"ALTER TABLE {ident} ADD COLUMNS ({cols})")
 
     def drop(self, name: str) -> None:
         if self.iceberg_catalog:

@@ -79,3 +79,24 @@ def test_merge_region_cache_real_merge_into(iceberg_spark):
     got = {r["ip_hash"]: r["region"] for r in cat.read("t_cache").collect()}
     assert got == {"h1": "eu", "h2": "us", "h3": "sa"}  # h1 NOT rewritten
     cat.drop("t_cache")
+
+
+def test_schema_evolution_append_widened_frame(iceberg_spark):
+    """Appending a frame with a NEW column must ALTER TABLE ADD COLUMNS
+    (metadata-only) and read back with NULLs for pre-evolution rows —
+    the real-jar twin of the recorder-mock evolution tests."""
+    from dandi_s3_log_parser_spark.sources.tables import Catalog
+
+    cat = Catalog(iceberg_spark, "/tmp/unused", iceberg_catalog="ice")
+    v1 = iceberg_spark.createDataFrame([("reduce", 10)], "stage string, rows_in long")
+    cat.write(v1, "t_lineage", mode="append")
+    v2 = iceberg_spark.createDataFrame(
+        [("bin", 20, 5)], "stage string, rows_in long, bytes_spilled long"
+    )
+    cat.write(v2, "t_lineage", mode="append")
+    got = {
+        r["stage"]: (r["rows_in"], r["bytes_spilled"])
+        for r in cat.read("t_lineage").collect()
+    }
+    assert got == {"reduce": (10, None), "bin": (20, 5)}
+    cat.drop("t_lineage")

@@ -243,6 +243,9 @@ def _iceberg_catalog(spark, exists: bool):
     cat.root = Path("/nonexistent")
     cat.iceberg_catalog = "ice"
     cat.exists = lambda name: exists
+    # writer-sequence tests only; schema evolution has its own recorder
+    # mocks in test_round4_hardening.py
+    cat._evolve_schema = lambda df, name: None
     return cat
 
 

@@ -42,6 +42,167 @@ def _window_nodes(df):
     return out
 
 
+class _FakeReader:
+    """spark.read.table(...) stand-in returning a fixed schema."""
+
+    def __init__(self, schema):
+        self._schema = schema
+
+    def table(self, ident):
+        class _T:
+            pass
+
+        t = _T()
+        t.schema = self._schema
+        return t
+
+
+class _FakeSparkWithTable:
+    def __init__(self, table_schema):
+        self.read = _FakeReader(table_schema)
+        self.statements = []
+
+    def sql(self, stmt):
+        self.statements.append(stmt)
+
+
+class _WriterRecorder:
+    def __init__(self, calls):
+        self.calls = calls
+
+    def append(self):
+        self.calls.append(("append",))
+
+    def overwritePartitions(self):
+        self.calls.append(("overwritePartitions",))
+
+
+class _FakeDF:
+    def __init__(self, calls, schema):
+        self.calls = calls
+        self.schema = schema
+
+    def writeTo(self, ident):
+        self.calls.append(("writeTo", ident))
+        return _WriterRecorder(self.calls)
+
+
+def _evolution_catalog(table_schema):
+    from dandi_s3_log_parser_spark.sources.tables import Catalog
+
+    cat = Catalog.__new__(Catalog)
+    cat.spark = _FakeSparkWithTable(table_schema)
+    cat.iceberg_catalog = "ice"
+    cat.exists = lambda name: True
+    return cat
+
+
+def test_iceberg_append_evolves_schema_with_add_columns():
+    """A long-lived deployment's first migration: the lineage table
+    gains a metric column.  Appending a widened frame must issue ONE
+    metadata-only ALTER TABLE ... ADD COLUMNS before the append — and
+    never for columns the table already has."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    table_schema = StructType(
+        [
+            StructField("stage", StringType()),
+            StructField("rows_in", LongType()),
+        ]
+    )
+    widened = StructType(
+        table_schema.fields + [StructField("bytes_spilled", LongType())]
+    )
+    calls = []
+    cat = _evolution_catalog(table_schema)
+    cat.write(_FakeDF(calls, widened), "lineage", mode="append")
+    assert cat.spark.statements == [
+        "ALTER TABLE ice.db.lineage ADD COLUMNS (bytes_spilled bigint)"
+    ]
+    assert calls == [("writeTo", "ice.db.lineage"), ("append",)]
+
+
+def test_iceberg_append_same_schema_issues_no_alter():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("stage", StringType()), StructField("rows_in", LongType())]
+    )
+    calls = []
+    cat = _evolution_catalog(schema)
+    cat.write(_FakeDF(calls, schema), "lineage", mode="append")
+    assert cat.spark.statements == []
+    assert calls == [("writeTo", "ice.db.lineage"), ("append",)]
+
+
+def test_png_codec_roundtrip_pure_python():
+    """make_png emits a standards-valid PNG and _decode_png reads back
+    the exact planted header dims and content statistics."""
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        _decode_png,
+        make_png,
+    )
+
+    for w, h, g in ((8, 8, 0), (20, 18, 255), (13, 11, 97)):
+        png = make_png(w, h, g)
+        width, height, inflated_len, byte_sum = _decode_png(png)
+        assert (width, height) == (w, h)
+        assert inflated_len == h * (w + 1)  # filter byte per scanline
+        assert byte_sum == w * h * g
+
+    with pytest.raises(ValueError):
+        _decode_png(b"GIF89a not a png")
+
+
+def test_decode_png_stats_distributed(spark):
+    """The real codec path through mapInPandas: decoded stats equal the
+    closed-form plant for every synthetic payload."""
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        decode_png_stats,
+        synthetic_png_media,
+    )
+
+    got = {
+        r["media_id"]: r
+        for r in decode_png_stats(synthetic_png_media(spark, 50)).collect()
+    }
+    assert len(got) == 50
+    for i, r in got.items():
+        w, h, g = 8 + i % 13, 8 + i % 11, (i * 37) % 256
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["inflated_len"] == h * (w + 1)
+        assert r["idat_byte_sum"] == w * h * g
+
+
+def test_decode_media_real_handles_png_and_rejects_others(spark):
+    """decode_fn='real' genuinely decodes PNG (header dims, not the
+    fake hash-derived ones) and still fails loudly on other formats."""
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        decode_media,
+        make_png,
+        synthetic_png_media,
+    )
+
+    png_rows = decode_media(
+        synthetic_png_media(spark, 5), decode_fn="real"
+    ).collect()
+    assert {(r["width"], r["height"]) for r in png_rows} == {
+        (8 + i % 13, 8 + i % 11) for i in range(5)
+    }
+
+    jpeg_like = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff\xe0 not png"), "image/jpeg", "u")],
+        "media_id long, kind string, payload binary, mime string, source_url string",
+    )
+    with pytest.raises(Exception, match="PNG only"):
+        decode_media(jpeg_like, decode_fn="real").collect()
+
+
 @pytest.mark.slow
 def test_no_query_plan_has_unpartitioned_window(spark):
     import __spark_entry__ as entry
