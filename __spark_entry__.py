@@ -1040,6 +1040,33 @@ def q_multimodal_decode(spark, sf):
     )
 
 
+def q_per_source_cap(spark, sf):
+    """Per-domain document cap (keep the 10 longest docs per source,
+    ties to the lowest id) — the hot-key-proof two-phase rank; oracle
+    is a plain one-window row_number in DuckDB, so the salted plan is
+    verified against the naive formulation."""
+    from dandi_s3_log_parser_spark.operators.curation import per_key_cap
+
+    d = _load(spark, sf, "documents")
+    return per_key_cap(
+        d,
+        "source",
+        k=10,
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+    ).select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("source", "doc_id")
+
+
+def q_oov_rate(spark, sf):
+    """Per-doc out-of-vocabulary occurrence rate vs the corpus top-100
+    vocabulary (broadcast-derived dimension; see operator docstring)."""
+    from dandi_s3_log_parser_spark.operators.curation import oov_rate
+
+    return oov_rate(_load(spark, sf, "documents"), vocab_k=100).orderBy(
+        "doc_id"
+    )
+
+
 def q_png_decode(spark, sf):
     """Real (pure-stdlib) PNG codec path: synthetic standards-valid
     PNGs -> chunk-walk + zlib-inflated-IDAT decode -> per-payload
@@ -1110,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_stats": q_source_stats,
         "pack_sequences": q_pack_sequences,
+        "per_source_cap": q_per_source_cap,
+        "oov_rate": q_oov_rate,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -1601,6 +1630,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS duration_ms,
                    1 AS n_frames
             FROM read_parquet('{_exchange_path("multimodal_media")}')
+        """,
+        # per-domain cap: the salted two-phase rank must equal the naive
+        # single-window formulation (total order: n_chars desc, id asc)
+        "per_source_cap": """
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC)
+                           AS rn
+                FROM documents
+            ) WHERE rn <= 10
+            ORDER BY source, doc_id
+        """,
+        # OOV rate: vocabulary = top-100 tokens by (count desc, token
+        # asc); per-doc share of token occurrences outside it
+        "oov_rate": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest({_TOKENS.format(col="lower(text)")}) AS tok
+                FROM documents
+            ), vocab AS (
+                SELECT tok FROM (
+                    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+                    ORDER BY cnt DESC, tok ASC LIMIT 100
+                )
+            ), inv AS (
+                SELECT doc_id, count(*) AS in_cnt
+                FROM toks JOIN vocab USING (tok) GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id,
+                       len({_TOKENS.format(col="lower(text)")}) AS n_tokens
+                FROM documents
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                   round(1.0 - coalesce(i.in_cnt, 0)
+                         / greatest(t.n_tokens, 1), 6) AS oov_rate
+            FROM tot t LEFT JOIN inv i ON i.doc_id = t.doc_id
+            ORDER BY t.doc_id
         """,
         # real PNG decode verified arithmetically: width/height/content
         # are planted as pure functions of media_id (synthetic_png_media

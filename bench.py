@@ -142,6 +142,9 @@ HEADLINE_QUERIES = (
     "upsample_corpus",
     "vocab_topk",
     "curation_funnel",
+    "per_source_cap",
+    "oov_rate",
+    "png_decode",
 )
 
 

@@ -435,6 +435,101 @@ def corpus_line_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Per-key document caps (per-domain caps in a Common-Crawl pipeline)
+# ---------------------------------------------------------------------------
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int,
+    order_by: list["F.Column"],
+) -> DataFrame:
+    """Keep at most ``k`` rows per key under a deterministic total
+    order — the per-domain document cap every web-corpus pipeline runs
+    so one hot domain cannot dominate the training mix.
+
+    Deliberately the naive ``row_number() <= k`` formulation: Spark
+    >= 3.5 rewrites exactly this shape with ``WindowGroupLimit`` —  a
+    PARTIAL per-key top-k runs map-side BEFORE the exchange (each input
+    partition contributes at most ``k`` rows per key, a local sort with
+    no key grouping), so a 10^9-row hot domain ships ``<= k * num_input_
+    partitions`` rows through the shuffle instead of 10^9.  A hand-salted
+    two-phase rank (as ``sessionize``/W1 need for their unlimited
+    windows) would pay a SECOND exchange for nothing here —
+    ``test_per_key_cap_plan_has_partial_group_limit`` pins the rewrite
+    so a regression (e.g. an order expression the optimizer can't match)
+    fails loudly instead of silently reintroducing the hot-key sort.
+
+    ``order_by`` MUST be a total order (break ties on the id column) or
+    the kept set is nondeterministic across runs/engines.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate vs the corpus top-K vocabulary
+# ---------------------------------------------------------------------------
+
+
+def oov_rate(
+    docs: DataFrame,
+    *,
+    vocab_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of token OCCURRENCES outside the corpus'
+    top-``vocab_k`` vocabulary — a standard quality / domain-shift
+    signal for training-data triage.
+
+    Scale shape: the vocabulary is a token-keyed aggregate finished by
+    ``TakeOrderedAndProject`` (top-k, never a global sort), then
+    BROADCAST back — the corpus-side membership probe is a map-side
+    left-semi join on the exploded tokens, and the only corpus-sized
+    shuffle is the final ``id``-keyed count.  Ties at the vocabulary
+    boundary break on (count desc, token asc) so the kept set is a
+    deterministic total order both engines replay.
+    """
+    from ..operators.dedup import word_tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_tok")
+    )
+    vocab = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("_tok"))
+        .limit(vocab_k)
+        .select("_tok")
+    )
+    in_vocab = (
+        toks.join(F.broadcast(vocab), "_tok", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_in_cnt"))
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(word_tokens(F.col(text_col))).alias("n_tokens")
+    )
+    return totals.join(in_vocab, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            1.0
+            - F.coalesce(F.col("_in_cnt"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
 

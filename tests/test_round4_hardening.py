@@ -203,6 +203,78 @@ def test_decode_media_real_handles_png_and_rejects_others(spark):
         decode_media(jpeg_like, decode_fn="real").collect()
 
 
+def test_per_key_cap_keeps_topk_per_key(spark):
+    """The cap keeps exactly the top-k rows per key under the total
+    order, including a hot key with far more rows than the cap."""
+    from pyspark.sql import functions as F
+
+    from dandi_s3_log_parser_spark.operators.curation import per_key_cap
+
+    rows = [(i, "hot" if i % 5 else f"cold{i}", (i * 13) % 97) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    got = {
+        tuple(r)
+        for r in per_key_cap(df, "source", k=3, order_by=order).select(
+            "doc_id", "source"
+        ).collect()
+    }
+    hot = sorted(
+        ((i, (i * 13) % 97) for i in range(200) if i % 5),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert {(i, "hot") for i, _ in hot} <= got
+    assert sum(1 for _, s in got if s == "hot") == 3
+    assert sum(1 for _, s in got if s.startswith("cold")) == 40  # 1 each
+
+
+def test_per_key_cap_plan_has_partial_group_limit(spark):
+    """The scale property per_key_cap relies on: Spark's
+    WindowGroupLimit rewrite must put a PARTIAL per-key top-k below the
+    exchange, so a hot key ships <= k rows per input partition through
+    the shuffle rather than its full row count."""
+    from pyspark.sql import functions as F
+
+    from dandi_s3_log_parser_spark.operators.curation import per_key_cap
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        (F.col("id") * 13 % 97).alias("n_chars"),
+    )
+    plan = (
+        per_key_cap(
+            df, "source", k=5, order_by=[F.desc("n_chars"), F.asc("doc_id")]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1 and "Partial" in plan
+    # the Partial limit must sit BELOW the source-hash exchange
+    assert "Exchange hashpartitioning(source" in plan
+    assert plan.find("Partial") > plan.find("Exchange hashpartitioning(source")
+
+
+def test_oov_rate_vocab_join_is_broadcast(spark):
+    """The vocabulary membership probe must be a broadcast join — a
+    shuffled join here would re-exchange the full token explosion."""
+    from dandi_s3_log_parser_spark.operators.curation import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c zz")], "doc_id long, text string"
+    )
+    out = oov_rate(df, vocab_k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r["doc_id"]: r["oov_rate"] for r in out.collect()}
+    # vocab (count desc, tok asc) = {a:2, b:2} -> doc1 all in-vocab,
+    # doc2 has 2 of 3 occurrences out of vocab (c, zz)
+    assert got[1] == 0.0
+    assert abs(got[2] - 2 / 3) < 1e-6
+
+
 @pytest.mark.slow
 def test_no_query_plan_has_unpartitioned_window(spark):
     import __spark_entry__ as entry
