@@ -161,3 +161,41 @@ def test_upsample_weight_le1_equals_stratified_sample_property(spark, rows):
     assert sorted(r["doc_id"] for r in up.collect()) == sorted(
         r["doc_id"] for r in sub.collect()
     )
+
+
+caps_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # source (few keys -> hot)
+        st.integers(min_value=0, max_value=50),   # n_chars (dup-heavy ties)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@pytest.mark.slow
+@PROP
+@given(rows=caps_strategy, k=st.integers(min_value=1, max_value=5))
+def test_per_key_cap_equals_pandas_topk_property(spark, rows, k):
+    """per_key_cap == pandas groupby head(k) under the same total order
+    on ANY input, including heavy ties (broken by doc_id)."""
+    import pandas as pd
+
+    from dandi_s3_log_parser_spark.operators.curation import per_key_cap
+
+    data = [(i, f"s{s}", n) for i, (s, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, n_chars long")
+    got = sorted(
+        r["doc_id"]
+        for r in per_key_cap(
+            df, "source", k=k, order_by=[F.desc("n_chars"), F.asc("doc_id")]
+        ).collect()
+    )
+    pdf = pd.DataFrame(data, columns=["doc_id", "source", "n_chars"])
+    want = sorted(
+        pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("source")
+        .head(k)["doc_id"]
+        .tolist()
+    )
+    assert got == want

@@ -257,6 +257,22 @@ def test_per_key_cap_plan_has_partial_group_limit(spark):
     assert plan.find("Partial") > plan.find("Exchange hashpartitioning(source")
 
 
+def test_oov_rate_empty_and_null_text(spark):
+    """Degenerate docs: empty text has zero tokens (oov_rate pinned at
+    1.0 by the greatest(n,1) guard — 'nothing in vocabulary'), and the
+    operator must not throw on them."""
+    from dandi_s3_log_parser_spark.operators.curation import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["oov_rate"]) for r in
+           oov_rate(df, vocab_k=10).collect()}
+    assert got[1] == (3, 0.0)
+    assert got[2] == (0, 1.0)
+    assert got[3] == (0, 1.0)
+
+
 def test_oov_rate_vocab_join_is_broadcast(spark):
     """The vocabulary membership probe must be a broadcast join — a
     shuffled join here would re-exchange the full token explosion."""
