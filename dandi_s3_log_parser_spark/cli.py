@@ -128,10 +128,10 @@ def cmd_stream_reduce(args) -> int:
 
 def cmd_curate(args) -> int:
     """Document-corpus curation job: funnel filters -> optional
-    benchmark decontamination -> exact dedup -> optional corpus-level
-    line dedup -> curated parquet + funnel report.  The documents-side
-    twin of ``pipeline``: same session conventions, drivable under
-    spark-submit with --py-files."""
+    benchmark decontamination -> exact dedup -> optional per-source cap
+    -> optional corpus-level line dedup -> curated parquet + funnel
+    report.  The documents-side twin of ``pipeline``: same session
+    conventions, drivable under spark-submit with --py-files."""
     from pyspark.sql import functions as F
 
     from .functions.text import quality_score
@@ -189,6 +189,22 @@ def cmd_curate(args) -> int:
 
     keep_ids = exact_dedup(kept, "text", "doc_id").select("doc_id")
     kept = kept.join(keep_ids, "doc_id", "left_semi")
+
+    if args.max_per_source is not None and "source" in kept.columns:
+        from .operators.curation import per_key_cap
+
+        before = kept.count()
+        kept = per_key_cap(
+            kept,
+            "source",
+            k=args.max_per_source,
+            order_by=[F.desc(F.length("text")), F.asc("doc_id")],
+        )
+        capped = before - kept.count()
+        n_stages += 1
+        print(f"curate: stage={n_stages} rule=over_source_cap "
+              f"docs={capped} remaining={before - capped}")
+
     if args.line_df_limit is not None:
         lines = corpus_line_dedup(kept, max_doc_freq=args.line_df_limit)
         kept = kept.drop("text").join(
@@ -282,6 +298,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--decontam-ngram", type=int, default=3,
                    help="n-gram size for --benchmark overlap (GPT-3-style "
                         "pipelines use ~13 on real prose)")
+    c.add_argument("--max-per-source", type=int, default=None,
+                   help="keep at most this many docs per source/domain "
+                        "(longest first, ties to lowest id)")
     c.add_argument("--line-df-limit", type=int, default=None,
                    help="strip lines occurring in more than this many docs")
     c.set_defaults(fn=cmd_curate)

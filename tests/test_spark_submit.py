@@ -130,6 +130,7 @@ def test_curate_cli_with_decontamination(tmp_path):
             "--min-chars", "100",
             "--benchmark", str(bench),
             "--decontam-ngram", "3",
+            "--max-per-source", "15",
             "--line-df-limit", "3",
         ],
         cwd=REPO, capture_output=True, text=True, timeout=300,
@@ -148,6 +149,12 @@ def test_curate_cli_with_decontamination(tmp_path):
         ).fetchall()
     }
     assert not (ids & set(contaminated_ids))
+    assert any("rule=over_source_cap" in ln for ln in r.stdout.splitlines())
+    max_per_source = duckdb.sql(
+        f"SELECT max(cnt) FROM (SELECT count(*) AS cnt "
+        f"FROM '{out}/*.parquet' GROUP BY source)"
+    ).fetchone()[0]
+    assert max_per_source <= 15
 
 
 @pytest.mark.slow
