@@ -1086,6 +1086,24 @@ def q_png_decode(spark, sf):
     return decode_png_stats(media).orderBy("media_id")
 
 
+def q_wav_decode(spark, sf):
+    """Real (pure-stdlib) WAV codec path: synthetic standards-valid
+    PCM-16 RIFF/WAVE payloads -> chunk-walk decode -> per-payload
+    format + content stats, verified by closed-form media_id arithmetic
+    exactly like png_decode."""
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        decode_wav_stats,
+        synthetic_wav_media,
+    )
+
+    media = synthetic_wav_media(spark, 300)
+    if _is_oracle_sf(sf):
+        _publish_exchange(
+            "wav_media", media.select("media_id", "payload").toPandas()
+        )
+    return decode_wav_stats(media).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "reduce_filter_project": q_reduce_filter_project,
@@ -1131,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pipeline": q_pages_pipeline,
         "multimodal_decode": q_multimodal_decode,
         "png_decode": q_png_decode,
+        "wav_decode": q_wav_decode,
         "repetition_metrics": q_repetition_metrics,
         "top_bigram_fraction": q_top_bigram_fraction,
         "hash_split": q_hash_split,
@@ -1685,6 +1704,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST((8 + media_id % 11) * (8 + media_id % 13)
                         * ((media_id * 37) % 256) AS BIGINT) AS idat_byte_sum
             FROM read_parquet('{_exchange_path("png_media")}')
+            ORDER BY media_id
+        """,
+        # real WAV decode verified arithmetically (synthetic_wav_media
+        # docstring): rate/channels/samples/amplitude are planted pure
+        # functions of media_id; the low-byte sum of constant-amplitude
+        # (<128) PCM-16 LE frames is n_samples * channels * amplitude
+        "wav_decode": f"""
+            SELECT media_id,
+                   CAST(octet_length(payload) AS BIGINT) AS byte_len,
+                   CAST(8000 * (1 + media_id % 3) AS INT) AS sample_rate,
+                   CAST(1 + media_id % 2 AS INT) AS channels,
+                   CAST(100 + media_id % 50 AS BIGINT) AS n_samples,
+                   CAST((100 + media_id % 50) * 1000
+                        // (8000 * (1 + media_id % 3)) AS BIGINT)
+                       AS duration_ms,
+                   CAST((100 + media_id % 50) * (1 + media_id % 2)
+                        * (media_id % 128) AS BIGINT) AS data_byte_sum
+            FROM read_parquet('{_exchange_path("wav_media")}')
             ORDER BY media_id
         """,
         # Gopher duplicate-line rules: explode lines, count per (doc,

@@ -102,6 +102,65 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, len(raw), byte_sum
 
 
+WAV_MAGIC = b"RIFF"
+
+
+def make_wav(
+    sample_rate: int, channels: int, n_samples: int, amplitude: int
+) -> bytes:
+    """Minimal valid 16-bit PCM WAV (pure stdlib) — every sample holds
+    the constant ``amplitude`` (0..32767), so content statistics are
+    closed-form for the oracle.  Standards-valid RIFF/WAVE layout:
+    fmt chunk (PCM) + data chunk.
+    """
+    frame = struct.pack("<h", amplitude) * channels
+    data = frame * n_samples
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return WAV_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Real pure-stdlib WAV decode: ``(sample_rate, channels,
+    n_samples, duration_ms, data_lo_byte_sum)``.
+
+    Walks the RIFF chunk stream (fmt for the format header, data for
+    the sample payload); duration is derived from the data chunk size
+    and the format, exactly what a standards decoder reports; the
+    low-byte sum over the data chunk is the deterministic content
+    statistic the oracle recomputes in closed form for planted audio.
+    Raises ``ValueError`` on non-WAV bytes or non-PCM-16 content.
+    """
+    if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if ctype == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+        elif ctype == b"data":
+            data = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV without fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"only PCM-16 supported, got {bits}-bit")
+    n_samples = len(data) // (channels * 2)
+    lo_sum = int(np.frombuffer(data, dtype=np.uint8)[::2].sum(dtype=np.int64))
+    return rate, channels, n_samples, n_samples * 1000 // rate, lo_sum
+
+
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, int]:
     """Deterministic fake decode: stable pseudo-dimensions from content."""
     h = hashlib.sha256(payload).digest()
@@ -127,10 +186,14 @@ def decode_media(media: DataFrame, *, decode_fn: str = "fake") -> DataFrame:
         if payload[:8] == PNG_MAGIC:
             width, height, _, _ = _decode_png(payload)
             return width, height, 0, 1
+        if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
+            _, _, n_samples, duration_ms, _ = _decode_wav(payload)
+            return 0, 0, duration_ms, n_samples
         raise NotImplementedError(
-            "real decoding is implemented in pure stdlib for PNG only; "
-            "other formats require codec libraries (Pillow/ffmpeg) that "
-            "are not installed — use decode_fn='fake' for those"
+            "real decoding is implemented in pure stdlib for PNG and "
+            "PCM-16 WAV only; other formats require codec libraries "
+            "(Pillow/ffmpeg) that are not installed — use "
+            "decode_fn='fake' for those"
         )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -215,6 +278,73 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches_fn, schema=PNG_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = (
+    "media_id long, byte_len long, sample_rate int, channels int, "
+    "n_samples long, duration_ms long, data_byte_sum long"
+)
+
+
+def synthetic_wav_media(spark, n: int) -> DataFrame:
+    """Distributed generator of REAL (standards-valid) PCM-16 WAV
+    payloads with planted parameters — closed-form in ``media_id`` so
+    the oracle recomputes every decoded statistic without a WAV parser:
+
+    * ``sample_rate = 8000 * (1 + media_id % 3)``  (8/16/24 kHz)
+    * ``channels    = 1 + media_id % 2``
+    * ``n_samples   = 100 + media_id % 50``
+    * constant amplitude ``media_id % 128`` (low byte = amp, high byte
+      0), hence ``data_byte_sum = n_samples * channels * amp`` and
+      ``duration_ms = n_samples * 1000 // sample_rate``.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads = [
+                make_wav(
+                    8000 * (1 + int(i) % 3),
+                    1 + int(i) % 2,
+                    100 + int(i) % 50,
+                    int(i) % 128,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "source_url": [f"synthetic://wav/{i}" for i in ids],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """Real WAV decode over a media table (Arrow-batched mapInPandas):
+    format header plus data-chunk content statistics per payload."""
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_decode_wav(p) for p in pdf["payload"]]
+            arr = np.array(stats, dtype=np.int64).reshape(len(pdf), 5)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": pdf["payload"].str.len().astype("int64"),
+                    "sample_rate": arr[:, 0].astype("int32"),
+                    "channels": arr[:, 1].astype("int32"),
+                    "n_samples": arr[:, 2],
+                    "duration_ms": arr[:, 3],
+                    "data_byte_sum": arr[:, 4],
+                }
+            )
+
+    return media.mapInPandas(batches_fn, schema=WAV_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_index int, frame_ms long"

@@ -179,6 +179,51 @@ def test_decode_png_stats_distributed(spark):
         assert r["idat_byte_sum"] == w * h * g
 
 
+def test_wav_codec_roundtrip_pure_python():
+    """make_wav emits a standards-valid PCM-16 RIFF/WAVE and _decode_wav
+    reads back the exact planted format and content statistics."""
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        _decode_wav,
+        make_wav,
+    )
+
+    for rate, ch, n, amp in ((8000, 1, 100, 0), (24000, 2, 149, 127),
+                             (16000, 2, 113, 64)):
+        wav = make_wav(rate, ch, n, amp)
+        got = _decode_wav(wav)
+        assert got == (rate, ch, n, n * 1000 // rate, n * ch * amp)
+
+    # stdlib wave module cross-checks ours against an independent,
+    # standards-compliant reader
+    import io
+    import wave
+
+    w = wave.open(io.BytesIO(make_wav(16000, 2, 113, 64)))
+    assert (w.getframerate(), w.getnchannels(), w.getnframes(),
+            w.getsampwidth()) == (16000, 2, 113, 2)
+
+    with pytest.raises(ValueError):
+        _decode_wav(b"OggS not a wav")
+
+
+def test_decode_wav_stats_distributed(spark):
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        decode_wav_stats,
+        synthetic_wav_media,
+    )
+
+    got = {
+        r["media_id"]: r
+        for r in decode_wav_stats(synthetic_wav_media(spark, 40)).collect()
+    }
+    assert len(got) == 40
+    for i, r in got.items():
+        rate, ch, n, amp = 8000 * (1 + i % 3), 1 + i % 2, 100 + i % 50, i % 128
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == (rate, ch, n)
+        assert r["duration_ms"] == n * 1000 // rate
+        assert r["data_byte_sum"] == n * ch * amp
+
+
 def test_decode_media_real_handles_png_and_rejects_others(spark):
     """decode_fn='real' genuinely decodes PNG (header dims, not the
     fake hash-derived ones) and still fails loudly on other formats."""
@@ -195,11 +240,20 @@ def test_decode_media_real_handles_png_and_rejects_others(spark):
         (8 + i % 13, 8 + i % 11) for i in range(5)
     }
 
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        synthetic_wav_media,
+    )
+
+    wav_rows = decode_media(
+        synthetic_wav_media(spark, 4), decode_fn="real"
+    ).collect()
+    assert {r["n_frames"] for r in wav_rows} == {100 + i % 50 for i in range(4)}
+
     jpeg_like = spark.createDataFrame(
         [(1, "image", bytearray(b"\xff\xd8\xff\xe0 not png"), "image/jpeg", "u")],
         "media_id long, kind string, payload binary, mime string, source_url string",
     )
-    with pytest.raises(Exception, match="PNG only"):
+    with pytest.raises(Exception, match="PNG and"):
         decode_media(jpeg_like, decode_fn="real").collect()
 
 
