@@ -1042,9 +1042,11 @@ def q_multimodal_decode(spark, sf):
 
 def q_per_source_cap(spark, sf):
     """Per-domain document cap (keep the 10 longest docs per source,
-    ties to the lowest id) — the hot-key-proof two-phase rank; oracle
-    is a plain one-window row_number in DuckDB, so the salted plan is
-    verified against the naive formulation."""
+    ties to the lowest id).  Spark side is the naive row_number()<=k
+    shape that the optimizer rewrites with WindowGroupLimit (map-side
+    partial per-key top-k before the exchange — hot-key-proof without
+    hand-salting; see per_key_cap's docstring and the plan-pin test);
+    oracle is the same naive window in DuckDB."""
     from dandi_s3_log_parser_spark.operators.curation import per_key_cap
 
     d = _load(spark, sf, "documents")
@@ -1650,8 +1652,9 @@ def oracle_sql() -> dict[str, str]:
                    1 AS n_frames
             FROM read_parquet('{_exchange_path("multimodal_media")}')
         """,
-        # per-domain cap: the salted two-phase rank must equal the naive
-        # single-window formulation (total order: n_chars desc, id asc)
+        # per-domain cap: Spark's WindowGroupLimit-rewritten plan must
+        # equal this naive single-window formulation (total order:
+        # n_chars desc, id asc)
         "per_source_cap": """
             SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
             FROM (
