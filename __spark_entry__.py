@@ -1069,6 +1069,41 @@ def q_oov_rate(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    """As-of join (most recent snapshot at-or-before each event, per
+    user) — Spark lacks the operator, so this is the union + keyed
+    running-window composition (``operators/asof.py``: one exchange,
+    no join node); the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, a
+    genuinely independent implementation of the semantics.  The
+    snapshot dimension is planted closed-form (per distinct user, one
+    snapshot every 3 days from 2024-01-01, ``plan = (user_id*7 +
+    snap_k) % 5``) so both engines construct it exactly."""
+    events = _load(spark, sf, "events")
+    snaps = (
+        events.select("user_id").distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("snap_k")))
+        .select(
+            "user_id",
+            "snap_k",
+            F.expr(
+                "timestampadd(DAY, CAST(3 * snap_k AS INT), "
+                "timestamp'2024-01-01 00:00:00')"
+            ).alias("snap_ts"),
+            ((F.col("user_id") * 7 + F.col("snap_k")) % 5).alias("plan"),
+        )
+    )
+    from dandi_s3_log_parser_spark.operators.asof import asof_join
+
+    return (
+        asof_join(
+            events, snaps, key="user_id", left_ts="ts", right_ts="snap_ts",
+            value_cols=["snap_k", "plan"],
+        )
+        .select("event_id", "user_id", "snap_k", "plan")
+        .orderBy("event_id")
+    )
+
+
 def q_png_decode(spark, sf):
     """Real (pure-stdlib) PNG codec path: synthetic standards-valid
     PNGs -> chunk-walk + zlib-inflated-IDAT decode -> per-payload
@@ -1160,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "per_source_cap": q_per_source_cap,
         "oov_rate": q_oov_rate,
+        "asof_join": q_asof_join,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -1665,6 +1701,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn <= 10
             ORDER BY source, doc_id
+        """,
+        # as-of join: DuckDB's NATIVE ASOF LEFT JOIN vs the Spark
+        # union+running-window composition — two independent
+        # implementations of the same semantics; the snapshot dim is
+        # planted closed-form so both engines construct it exactly
+        "asof_join": """
+            WITH snaps AS (
+                SELECT u.user_id, t.k AS snap_k,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                           + INTERVAL 1 DAY * (3 * t.k) AS snap_ts,
+                       (u.user_id * 7 + t.k) % 5 AS plan
+                FROM (SELECT DISTINCT user_id FROM events) u,
+                     range(0, 10) t(k)
+            )
+            SELECT e.event_id, e.user_id, s.snap_k, s.plan
+            FROM events e ASOF LEFT JOIN snaps s
+              ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+            ORDER BY e.event_id
         """,
         # OOV rate: vocabulary = top-100 tokens by (count desc, token
         # asc); per-doc share of token occurrences outside it

@@ -145,6 +145,7 @@ HEADLINE_QUERIES = (
     "per_source_cap",
     "oov_rate",
     "png_decode",
+    "asof_join",
 )
 
 
