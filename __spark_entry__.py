@@ -1069,6 +1069,15 @@ def q_oov_rate(spark, sf):
     )
 
 
+def q_unigram_logprob(spark, sf):
+    """Per-doc mean negative log-likelihood under the corpus' own
+    unigram LM (CCNet-style perplexity-proxy quality signal; see
+    operator docstring for the single-tokenize / narrow-shuffle plan)."""
+    from dandi_s3_log_parser_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(_load(spark, sf, "documents")).orderBy("doc_id")
+
+
 def q_asof_join(spark, sf):
     """As-of join (most recent snapshot at-or-before each event, per
     user) — Spark lacks the operator, so this is the union + keyed
@@ -1195,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "per_source_cap": q_per_source_cap,
         "oov_rate": q_oov_rate,
+        "unigram_logprob": q_unigram_logprob,
         "asof_join": q_asof_join,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
@@ -1745,6 +1755,26 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - coalesce(i.in_cnt, 0)
                          / greatest(t.n_tokens, 1), 6) AS oov_rate
             FROM tot t LEFT JOIN inv i ON i.doc_id = t.doc_id
+            ORDER BY t.doc_id
+        """,
+        # unigram-LM perplexity proxy: full vocabulary recompute, per-doc
+        # avg(-ln(cnt/total)) rounded to 4 (summation-order jitter is
+        # ~1e-12, far inside the rounding)
+        "unigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest({_TOKENS.format(col="lower(text)")}) AS tok
+                FROM documents
+            ), vocab AS (
+                SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), tot AS (
+                SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(-ln(v.cnt / tt.total)), 4) AS nll
+            FROM toks t JOIN vocab v USING (tok), tot tt
+            GROUP BY t.doc_id
             ORDER BY t.doc_id
         """,
         # real PNG decode verified arithmetically: width/height/content

@@ -144,6 +144,7 @@ HEADLINE_QUERIES = (
     "curation_funnel",
     "per_source_cap",
     "oov_rate",
+    "unigram_logprob",
     "png_decode",
     "asof_join",
 )

@@ -529,6 +529,52 @@ def oov_rate(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus' own
+    unigram language model — the KenLM-style perplexity proxy used to
+    rank web text by "naturalness" (CCNet buckets pages by exactly this
+    quantity; here the LM is the corpus itself, so no external model
+    file is needed and every token has nonzero probability).
+
+    Returns ``(id, n_tokens, nll)`` where ``nll = avg(-ln(cnt(tok) /
+    total_tokens))`` over the document's token instances, rounded to 4
+    decimals (both engines sum doubles in different orders; the 1e-12
+    summation jitter is far inside the rounding).  Low nll = common
+    boilerplate tokens, high nll = rare/garbage tokens.
+
+    Scale shape (10^12 docs): one explode feeds BOTH the vocabulary
+    aggregate and the probability join, so the text is tokenized once.
+    Shuffles carry (token, long) and (id, double) — never text.  The
+    vocabulary is corpus-sized at web scale, so it is NOT broadcast: the
+    probe is a token-keyed shuffle join (AQE may still broadcast it at
+    small SF).  The grand total rides a one-row broadcast cross join,
+    not a ``collect``.
+    """
+    from ..operators.dedup import word_tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_tok")
+    )
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").cast("double").alias("_total"))
+    return (
+        toks.join(vocab, "_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("_cnt") / F.col("_total"))), 4
+            ).alias("nll"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

@@ -335,3 +335,40 @@ def test_curation_funnel_single_scan(spark):
     assert plan.count("Range (0, 10") == 0
     assert "LocalTableScan" in plan or "ExistingRDD" in plan
     assert "Window" not in plan
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """3-doc corpus: vocab {a:3, b:2, c:1}, total 6.  Doc nll is the
+    mean of -ln(cnt/6) over its token instances."""
+    import math
+
+    from dandi_s3_log_parser_spark.operators.curation import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    p = {"a": 3 / 6, "b": 2 / 6, "c": 1 / 6}
+    exp1 = -(math.log(p["a"]) * 2 + math.log(p["b"])) / 3
+    exp3 = -math.log(p["c"])
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["nll"] == pytest.approx(round(exp1, 4), abs=1e-9)
+    assert got[3]["nll"] == pytest.approx(round(exp3, 4), abs=1e-9)
+    # rarest-token doc scores highest (garbage detection direction)
+    assert got[3]["nll"] > got[1]["nll"] > 0
+
+
+def test_unigram_logprob_single_tokenize_no_text_shuffle(spark):
+    """The explode feeds both the vocab aggregate and the probe join;
+    no exchange in the plan carries the raw text column."""
+    from dandi_s3_log_parser_spark.operators.curation import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    plan = (
+        unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
