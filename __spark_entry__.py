@@ -845,6 +845,29 @@ def q_decontaminate(spark, sf):
     return decontaminate(train, bench, n=3).orderBy("doc_id")
 
 
+def q_bloom_decontaminate(spark, sf):
+    """Bloom-prefiltered decontamination: same exact output as
+    `decontaminate` (false positives are verified away by the exact
+    join) but the broadcast is a FIXED-size bit array — the scale path
+    when the deny-side gram set is itself too large to broadcast raw.
+    A deliberately small 2^16-bit filter at this sf forces real false
+    positives through the verify join, so the oracle (a full exact
+    n-gram overlap recompute in DuckDB, no Bloom anywhere) genuinely
+    checks that the verification absorbs them.  Eval set: doc_id % 89
+    (vs 97 for the broadcast variant) so the two queries cannot share a
+    cached result."""
+    from dandi_s3_log_parser_spark.operators.decontaminate import (
+        bloom_decontaminate,
+    )
+
+    d = _load(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 89 == 0)
+    train = d.filter(F.col("doc_id") % 89 != 0)
+    return bloom_decontaminate(train, bench, n=3, n_bits=1 << 16, k=4).orderBy(
+        "doc_id"
+    )
+
+
 def q_pii_redact(spark, sf):
     """PII detection + redaction over a deterministically planted
     fixture: the synthetic corpus has no PII, so both engines append
@@ -1207,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "asof_join": q_asof_join,
         "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "pii_redact": q_pii_redact,
         "corpus_line_dedup": q_corpus_line_dedup,
         "upsample_corpus": q_upsample_corpus,
@@ -1960,6 +1984,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.matched, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0
+            ORDER BY doc_id
+        """,
+        # bloom_decontaminate: the oracle is the EXACT overlap — no
+        # Bloom filter anywhere in DuckDB — because the operator's
+        # contract is that the exact-verify join makes its output
+        # byte-identical to plain decontamination; any unabsorbed false
+        # positive (or a false negative, impossible by construction)
+        # breaks the hash
+        "bloom_decontaminate": f"""
+            WITH tok AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i.i:i.i+2], ' ') AS gram
+                FROM tok, unnest(range(1, len(w) - 1)) AS i(i)
+            ), bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 89 = 0
+            ), hits AS (
+                SELECT g.doc_id, count(DISTINCT g.gram) AS matched
+                FROM grams g JOIN bench USING (gram)
+                WHERE g.doc_id % 89 <> 0 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.matched, 0) AS BIGINT) AS matched_ngrams,
+                   coalesce(h.matched, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 89 <> 0
             ORDER BY doc_id
         """,
         # curation funnel: same first-failing-rule CASE chain, same

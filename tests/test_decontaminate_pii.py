@@ -17,7 +17,10 @@ from dandi_s3_log_parser_spark.functions.text import (
     pii_redact,
 )
 from dandi_s3_log_parser_spark.operators.decontaminate import (
+    _bloom_contains,
     benchmark_ngrams,
+    bloom_decontaminate,
+    build_bloom,
     decontaminate,
 )
 
@@ -84,6 +87,83 @@ def test_decontaminate_benchmark_side_broadcasts(corpus, bench_set):
     here would re-exchange the full corpus gram explosion."""
     plan = decontaminate(corpus, bench_set, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_decontaminate_equals_exact(corpus, bench_set):
+    """The Bloom variant must be byte-identical to the raw-broadcast
+    variant — false positives are verified away, never reported."""
+    exact = sorted(
+        map(tuple, decontaminate(corpus, bench_set, n=3).collect())
+    )
+    bloom = sorted(
+        map(tuple, bloom_decontaminate(corpus, bench_set, n=3).collect())
+    )
+    assert bloom == exact
+    # and again at an adversarially tiny filter where false positives
+    # are guaranteed (64 bits, 2 hashes): the exact verify must absorb
+    # them all
+    tiny = sorted(
+        map(
+            tuple,
+            bloom_decontaminate(
+                corpus, bench_set, n=3, n_bits=64, k=2
+            ).collect(),
+        )
+    )
+    assert tiny == exact
+
+
+def test_bloom_zero_false_negatives(spark, bench_set):
+    """Every gram that went into the filter must probe as maybe-member
+    (the Bloom guarantee the exact-verify join relies on)."""
+    grams = benchmark_ngrams(bench_set, n=3)
+    bloom = build_bloom(grams, n_bits=1 << 14, k=5)
+    probed = (
+        grams.crossJoin(F.broadcast(bloom))
+        .select(
+            _bloom_contains(
+                F.col("gram"), F.col("bloom_words"), n_bits=1 << 14, k=5
+            ).alias("hit")
+        )
+        .collect()
+    )
+    assert probed and all(r["hit"] for r in probed)
+
+
+def test_bloom_filters_most_nonmembers(spark, bench_set):
+    """At the default sizing (1 Mbit, k=5) a 5-gram benchmark set must
+    reject essentially every foreign probe (deterministic hashes, so
+    this is a fixed fact, not a flaky sample)."""
+    grams = benchmark_ngrams(bench_set, n=3)
+    bloom = build_bloom(grams)
+    foreign = spark.range(1000).select(
+        F.concat(F.lit("foreign gram "), F.col("id")).alias("gram")
+    )
+    n_pass = (
+        foreign.crossJoin(F.broadcast(bloom))
+        .filter(
+            _bloom_contains(
+                F.col("gram"), F.col("bloom_words"), n_bits=1 << 20, k=5
+            )
+        )
+        .count()
+    )
+    assert n_pass == 0
+
+
+def test_bloom_probe_is_native_and_broadcast(corpus, bench_set):
+    """The probe side must stay in codegen (no EvalPython) and the
+    one-row filter must arrive via a broadcast join, not an exchange of
+    corpus grams."""
+    plan = (
+        bloom_decontaminate(corpus, bench_set, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "xxhash64" in plan
 
 
 def test_pii_counts_and_redact(spark):
