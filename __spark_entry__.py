@@ -829,6 +829,31 @@ def q_source_stats(spark, sf):
     )
 
 
+def q_length_quantiles(spark, sf):
+    """Per-language EXACT length quantiles (the corpus-health report of
+    every curation run).  Spark's exact `percentile` aggregate vs
+    DuckDB's `quantile_cont` — independent implementations of the same
+    p*(n-1) rank-linear interpolation; see operator docstring for the
+    value→count-map memory argument at 10^12 rows."""
+    from dandi_s3_log_parser_spark.operators.curation import group_quantiles
+
+    return group_quantiles(_load(spark, sf, "documents"), "lang", "n_chars")
+
+
+def q_approx_distinct(spark, sf):
+    """Per-event-type HLL++ distinct users, self-checked: emits the
+    exact count plus approx_ok = |HLL − exact| ≤ 20%·exact (4σ at
+    rsd=5%); the oracle recomputes the exact count and pins approx_ok
+    TRUE, so sketch drift breaks the hash like a wrong answer."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        approx_distinct_check,
+    )
+
+    return approx_distinct_check(
+        _load(spark, sf, "events"), "event_type", "user_id"
+    )
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination (GPT-3/Llama-style n-gram overlap):
     docs with doc_id % 97 == 0 act as the held-out eval set; every
@@ -1229,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "unigram_logprob": q_unigram_logprob,
         "asof_join": q_asof_join,
+        "length_quantiles": q_length_quantiles,
+        "approx_distinct": q_approx_distinct,
         "decontaminate": q_decontaminate,
         "bloom_decontaminate": q_bloom_decontaminate,
         "pii_redact": q_pii_redact,
@@ -1965,6 +1992,24 @@ def oracle_sql() -> dict[str, str]:
         # benchmark decontamination: full independent 3-gram + overlap
         # recompute (tokenizer shared with the dedup family via the
         # same lower/split-\s+ semantics)
+        # length_quantiles: quantile_cont is DuckDB's independent
+        # implementation of the same p*(n-1) linear interpolation
+        "length_quantiles": """
+            SELECT lang, count(*) AS n,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS p25,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 4) AS p50,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS p75,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS p95
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # approx_distinct: the oracle pins approx_ok TRUE — Spark's HLL
+        # drifting past the 20% tolerance breaks the hash
+        "approx_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS approx_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "decontaminate": f"""
             WITH tok AS (
                 SELECT doc_id, {toks_lower} AS w FROM documents

@@ -641,3 +641,83 @@ def pack_sequences(
         .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
         .orderBy("bucket", "seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution stats: exact group quantiles + sketched distinct counts
+# ---------------------------------------------------------------------------
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    ndp: int = 4,
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles of ``value_col`` per group.
+
+    The corpus-health report every curation run prints (length / token /
+    quality-score distributions per language or source).  Uses Spark's
+    exact ``percentile`` aggregate — ONE narrow shuffle keyed on the
+    group, with a map-side partial that collapses to a value→count map,
+    so executor memory scales with DISTINCT values per group, not rows.
+    That is the right trade for bounded-domain columns (lengths, token
+    counts, 0-100 scores) even at 10^12 rows; for unbounded doubles
+    switch the caller to ``approx_percentile`` (t-digest, fixed memory)
+    and drop the oracle to rows-only.  Interpolation is p*(n-1)
+    rank-linear — the same definition as DuckDB/Postgres
+    ``quantile_cont``, which is what makes the result oracle-hashable.
+    """
+    aggs = [
+        F.round(
+            F.percentile(F.col(value_col).cast("double"), F.lit(p)), ndp
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"), *aggs)
+        .orderBy(group_col)
+    )
+
+
+def approx_distinct_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    rsd: float = 0.05,
+    tolerance: float = 0.2,
+) -> DataFrame:
+    """Per-group HyperLogLog++ distinct count, self-checked against the
+    exact count.
+
+    At 10^12 rows the exact ``count(DISTINCT x)`` is a full shuffle of
+    every distinct value; the HLL++ sketch (``approx_count_distinct``)
+    is a fixed ~kilobytes-per-group accumulator that merges map-side —
+    the only formulation that survives a hot group.  Because a sketch
+    cannot be hash-compared across engines, the query SELF-verifies:
+    it computes both (affordable at test scale), emits the exact count
+    plus ``approx_ok`` = |approx − exact| ≤ tolerance·exact, and the
+    oracle recomputes the exact count with ``approx_ok`` pinned TRUE —
+    a sketch drifting past ``tolerance`` (4σ at the default rsd=5%)
+    breaks the value hash exactly like a wrong answer would.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count_distinct(F.col(value_col)).alias("exact_distinct"),
+            F.approx_count_distinct(F.col(value_col), rsd).alias("_approx"),
+        )
+        .select(
+            group_col,
+            "exact_distinct",
+            (
+                F.abs(F.col("_approx") - F.col("exact_distinct"))
+                <= F.lit(tolerance) * F.col("exact_distinct")
+            ).alias("approx_ok"),
+        )
+        .orderBy(group_col)
+    )

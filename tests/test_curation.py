@@ -372,3 +372,56 @@ def test_unigram_logprob_single_tokenize_no_text_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line
+
+
+def test_group_quantiles_hand_computed(spark):
+    """p*(n-1) rank-linear interpolation, per group: [10,20,30,40] has
+    p25 = 17.5, p50 = 25, p75 = 32.5; a singleton group returns the
+    value at every quantile."""
+    from dandi_s3_log_parser_spark.operators.curation import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("a", 40), ("b", 7)],
+        "g string, v long",
+    )
+    got = {r["g"]: r for r in group_quantiles(df, "g", "v").collect()}
+    a = got["a"]
+    assert (a["n"], a["p25"], a["p50"], a["p75"]) == (4, 17.5, 25.0, 32.5)
+    assert a["p95"] == pytest.approx(38.5)
+    b = got["b"]
+    assert (b["n"], b["p25"], b["p50"], b["p95"]) == (1, 7.0, 7.0, 7.0)
+
+
+def test_group_quantiles_single_shuffle(spark):
+    """All quantiles + the count must come from ONE aggregation over one
+    group-keyed exchange — no plan-doubling self-join."""
+    from dandi_s3_log_parser_spark.operators.curation import group_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    plan = (
+        group_quantiles(df, "g", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_approx_distinct_check_semantics(spark):
+    """Exact counts are exact; the HLL sketch at rsd=5% must sit inside
+    the 20% tolerance on an easy 100-distinct group."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        approx_distinct_check,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 100).alias("v"),
+    )
+    rows = {r["g"]: r for r in approx_distinct_check(df, "g", "v").collect()}
+    assert set(rows) == {"0", "1", "2"}
+    for r in rows.values():
+        # ids 0..299 % 3 buckets each see 100 distinct (id % 100) values?
+        # bucket g sees v = (3k+g) % 100 over k=0..99 -> all residues mod 100
+        assert r["exact_distinct"] == 100
+        assert r["approx_ok"] is True
