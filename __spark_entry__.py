@@ -829,6 +829,18 @@ def q_source_stats(spark, sf):
     )
 
 
+def q_chunk_overlap(spark, sf):
+    """Sliding-window token chunking (window=32, stride=16): the
+    context-window prep step between curated text and a fixed-context
+    trainer.  Shuffle-free fan-out — see operator docstring."""
+    from dandi_s3_log_parser_spark.operators.curation import chunk_documents
+
+    out = chunk_documents(
+        _load(spark, sf, "documents"), window=32, stride=16
+    )
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
 def q_length_quantiles(spark, sf):
     """Per-language EXACT length quantiles (the corpus-health report of
     every curation run).  Spark's exact `percentile` aggregate vs
@@ -1254,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "unigram_logprob": q_unigram_logprob,
         "asof_join": q_asof_join,
+        "chunk_overlap": q_chunk_overlap,
         "length_quantiles": q_length_quantiles,
         "approx_distinct": q_approx_distinct,
         "decontaminate": q_decontaminate,
@@ -1992,6 +2005,26 @@ def oracle_sql() -> dict[str, str]:
         # benchmark decontamination: full independent 3-gram + overlap
         # recompute (tokenizer shared with the dedup family via the
         # same lower/split-\s+ semantics)
+        # chunk_overlap: same tokenizer, same last-start arithmetic,
+        # DuckDB's 1-based-inclusive list slice vs Spark's
+        # (start, length) slice — independent formulations of the
+        # window geometry
+        "chunk_overlap": f"""
+            WITH tok AS (
+                SELECT doc_id, {toks_lower} AS w FROM documents
+            ), st AS (
+                SELECT doc_id, w,
+                       unnest(range(0,
+                           CAST(ceil(greatest(len(w) - 32, 0) / 16.0)
+                                AS BIGINT) * 16 + 1, 16)) AS s
+                FROM tok
+            )
+            SELECT doc_id,
+                   s // 16 AS chunk_id,
+                   CAST(len(w[s+1:s+32]) AS BIGINT) AS n_tokens,
+                   array_to_string(w[s+1:s+32], ' ') AS chunk
+            FROM st ORDER BY doc_id, chunk_id
+        """,
         # length_quantiles: quantile_cont is DuckDB's independent
         # implementation of the same p*(n-1) linear interpolation
         "length_quantiles": """

@@ -721,3 +721,66 @@ def approx_distinct_check(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (context-window prep for training / retrieval)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    window: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows.
+
+    The step between curated text and a fixed-context trainer (or a
+    passage-level retrieval index): chunk ``i`` covers tokens
+    ``[i*stride, i*stride + window)``; the last start is
+    ``ceil(max(n-window,0)/stride)*stride`` so the tail is always
+    covered and a doc shorter than ``window`` yields exactly one chunk.
+    Returns ``(id_col, chunk_id, n_tokens, chunk)``.
+
+    Plan shape: tokens materialize ONCE behind a projection boundary
+    (the with_shingles lesson — lambda-referenced expressions re-run
+    per element), starts explode map-side, each chunk slice is taken
+    from the bound token array — no shuffle anywhere, so it pipelines
+    into whatever consumer follows and scales embarrassingly.  Chunks
+    inherit the document's partitioning; downstream per-chunk work
+    needs no repartition because rows only ever fan OUT in place.
+    """
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    from .dedup import word_tokens
+
+    toks = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size("_toks")
+    last_start = (
+        F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride)) * stride
+    ).cast("int")
+    return (
+        toks.select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(0), last_start, F.lit(stride))
+            ).alias("_start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_start") / stride).cast("long").alias("chunk_id"),
+            F.size(F.slice("_toks", F.col("_start") + 1, window)).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.slice("_toks", F.col("_start") + 1, window), " "
+            ).alias("chunk"),
+        )
+        .orderBy(id_col, "chunk_id")
+    )

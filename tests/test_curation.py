@@ -425,3 +425,40 @@ def test_approx_distinct_check_semantics(spark):
         # bucket g sees v = (3k+g) % 100 over k=0..99 -> all residues mod 100
         assert r["exact_distinct"] == 100
         assert r["approx_ok"] is True
+
+
+def test_chunk_documents_window_geometry(spark):
+    """12 tokens, window=5, stride=3: starts 0,3,6,9 -> sizes 5,5,5,3;
+    the tail is covered exactly once past the last full window."""
+    from dandi_s3_log_parser_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text), (2, "a b c"), (3, "")],
+                               "doc_id long, text string")
+    rows = chunk_documents(df, window=5, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r for r in rows}
+    assert [got[(1, i)]["n_tokens"] for i in range(4)] == [5, 5, 5, 3]
+    assert got[(1, 3)]["chunk"] == "t9 t10 t11"
+    assert got[(1, 1)]["chunk"] == "t3 t4 t5 t6 t7"
+    # shorter than window -> exactly one full-coverage chunk
+    assert got[(2, 0)]["n_tokens"] == 3 and got[(2, 0)]["chunk"] == "a b c"
+    assert sum(1 for k in got if k[0] == 2) == 1
+    # empty doc -> one empty chunk, not zero rows (count-preserving)
+    assert got[(3, 0)]["n_tokens"] == 0 and got[(3, 0)]["chunk"] == ""
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is a pure map-side fan-out: no Exchange in the plan
+    (the orderBy is the query-surface sort, so check pre-sort)."""
+    from dandi_s3_log_parser_spark.operators.curation import chunk_documents
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, window=2, stride=1)
+        .drop("chunk")  # plan shape unaffected
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=4, stride=5)
