@@ -829,6 +829,41 @@ def q_source_stats(spark, sf):
     )
 
 
+_NORM_MARKERS = (
+    "Cafe\u0301 DECOMPOSED",   # e + combining acute -> must fold to \u00e9
+    "CAF\u00c9 COMPOSED",      # precomposed \u00c9
+    "na\u00efve\tmixed   WS",  # \u00ef + tab + run of spaces
+    "wei\u00df \u00dcmlaut",   # \u00df (lower-stable) + \u00dc
+)
+
+
+def q_text_normalize(spark, sf):
+    """Unicode canonicalization (NFC + lowercase + ASCII-whitespace
+    collapse) — the pre-dedup normalize pass.  The synthetic corpus is
+    ASCII, so a marker from _NORM_MARKERS (composed/decomposed accents,
+    mixed whitespace) is appended per doc_id%4 on BOTH sides; Spark
+    runs the Arrow/pandas kernel (functions/normalize.py), DuckDB runs
+    utf8proc nfc_normalize — two independent normalization
+    implementations hashing identically."""
+    from dandi_s3_log_parser_spark.functions.normalize import normalize_text
+
+    d = _load(spark, sf, "documents")
+    combined = F.concat(
+        F.col("text"),
+        F.lit("  "),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _NORM_MARKERS]),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        ),
+    )
+    return d.select(
+        "doc_id",
+        normalize_text(combined).alias("norm_text"),
+    ).withColumn(
+        "n_norm_chars", F.length("norm_text").cast("long")
+    ).orderBy("doc_id")
+
+
 def q_chunk_overlap(spark, sf):
     """Sliding-window token chunking (window=32, stride=16): the
     context-window prep step between curated text and a fixed-context
@@ -1266,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "unigram_logprob": q_unigram_logprob,
         "asof_join": q_asof_join,
+        "text_normalize": q_text_normalize,
         "chunk_overlap": q_chunk_overlap,
         "length_quantiles": q_length_quantiles,
         "approx_distinct": q_approx_distinct,
@@ -2005,6 +2041,30 @@ def oracle_sql() -> dict[str, str]:
         # benchmark decontamination: full independent 3-gram + overlap
         # recompute (tokenizer shared with the dedup family via the
         # same lower/split-\s+ semantics)
+        # text_normalize: utf8proc nfc_normalize vs the pandas kernel —
+        # independent Unicode normalization implementations; markers
+        # are injected as raw UTF-8 into the literal so both engines
+        # see identical codepoints
+        "text_normalize": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       text || '  ' || CASE CAST(doc_id % 4 AS INT)
+                           WHEN 0 THEN '{_NORM_MARKERS[0]}'
+                           WHEN 1 THEN '{_NORM_MARKERS[1]}'
+                           WHEN 2 THEN '{_NORM_MARKERS[2]}'
+                           ELSE '{_NORM_MARKERS[3]}' END AS x
+                FROM documents
+            ), n AS (
+                SELECT doc_id,
+                       nfc_normalize(trim(regexp_replace(lower(x),
+                           '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' '))
+                           AS norm_text
+                FROM m
+            )
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS BIGINT) AS n_norm_chars
+            FROM n ORDER BY doc_id
+        """,
         # chunk_overlap: same tokenizer, same last-start arithmetic,
         # DuckDB's 1-based-inclusive list slice vs Spark's
         # (start, length) slice — independent formulations of the
