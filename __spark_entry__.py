@@ -818,6 +818,19 @@ def q_vocab_topk(spark, sf):
     )
 
 
+def q_tfidf_top_terms(spark, sf):
+    """Top-5 TF-IDF terms per document (keyword / topic-indexing
+    signal).  One tokenize feeds the (doc,term) count; the df table
+    derives from that aggregate (no second text pass); per-doc top-k is
+    a WindowGroupLimit (map-side partial top-k before the exchange).
+    Restricted to doc_id < 40 so the oracle comparison stays small —
+    the df/N statistics are still computed over the FULL corpus."""
+    from dandi_s3_log_parser_spark.operators.curation import tfidf_top_terms
+
+    d = _load(spark, sf, "documents")
+    return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
+
+
 def q_source_stats(spark, sf):
     """Per-source corpus stats with a blocklist filter (the curation
     analog of the reference's excluded-IP reducer filter,
@@ -1311,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "upsample_corpus": q_upsample_corpus,
         "vocab_topk": q_vocab_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2225,6 +2239,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t
             ORDER BY tf DESC, token
             LIMIT 50
+        """.format(toks_lower=toks_lower),
+        # TF-IDF keyword extraction: full recompute of tf, df, smooth
+        # idf (sklearn formulation), rounded-score ranking.  df/N over
+        # the whole corpus; only doc_id < 40 rows are compared.
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest({toks_lower}) AS term FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dfl AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS _df
+                FROM tf GROUP BY term
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * (ln((_n + 1) / (_df + 1)) + 1), 6)
+                           AS tfidf
+                FROM tf JOIN dfl USING (term) CROSS JOIN n
+            ), ranked AS (
+                SELECT doc_id, term, tf, tfidf,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT * FROM ranked
+            WHERE rank <= 5 AND doc_id < 40
+            ORDER BY doc_id, rank
         """.format(toks_lower=toks_lower),
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the

@@ -784,3 +784,68 @@ def chunk_documents(
         )
         .orderBy(id_col, "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (keyword extraction / indexing signal)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndp: int = 6,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smooth idf:
+    ``tf * (ln((N+1)/(df+1)) + 1)``, sklearn's formulation — public
+    knowledge).
+
+    The keyword/indexing signal of a web-text pipeline: what a page is
+    *about*, used for topic sampling and retrieval indexes.  Returns
+    ``(id, term, tf, tfidf, rank)``, ties broken by term so the result
+    is total-ordered.
+
+    Scale shape (10^12 docs): one tokenize feeds one (id, term)-keyed
+    count; the document-frequency table derives from THAT aggregate
+    (rows are already distinct per doc — no second pass over text); the
+    df probe is a term-keyed shuffle join because the vocabulary is
+    corpus-sized at web scale (AQE may broadcast it at small SF); N
+    rides a one-row broadcast.  The per-doc top-k is the naive
+    ``row_number() <= k`` window — Spark rewrites it to
+    WindowGroupLimit, i.e. map-side partial top-k before the exchange,
+    so a hot document cannot flood the shuffle.  Ranking uses the
+    ROUNDED score on both engines, so rounding cannot reorder ties.
+    """
+    from ..operators.dedup import word_tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1),
+                ndp,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(id_col, "rank")
+    )

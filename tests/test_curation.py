@@ -462,3 +462,69 @@ def test_chunk_documents_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
     with _pytest.raises(ValueError):
         chunk_documents(df, window=4, stride=5)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """3 docs; 'shared' appears in all (low idf), 'rare' in one (high
+    idf).  Check the smooth-idf math against a hand evaluation and the
+    term-asc tie-break."""
+    import math
+
+    from dandi_s3_log_parser_spark.operators.curation import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare shared shared"),
+            (2, "shared common common"),
+            (3, "shared common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): r for r in rows}
+
+    def tfidf(tf, dfreq, n=3):
+        return round(tf * (math.log((n + 1) / (dfreq + 1)) + 1), 6)
+
+    # doc 1: rare tf=1 df=1 -> 1*(ln(2)+1); shared tf=2 df=3 -> 2*1.0
+    assert got[(1, 1)]["term"] == "shared"
+    assert got[(1, 1)]["tfidf"] == pytest.approx(tfidf(2, 3))
+    assert got[(1, 2)]["term"] == "rare"
+    assert got[(1, 2)]["tfidf"] == pytest.approx(tfidf(1, 1))
+    # doc 2: common tf=2 df=2 beats shared tf=1 df=3
+    assert got[(2, 1)]["term"] == "common"
+    assert got[(2, 2)]["term"] == "shared"
+    # doc 3: common (ln(4/3)+1 ~ 1.288) > shared (1.0); ties impossible
+    # here, so force one: equal scores order by term ascending
+    assert got[(3, 1)]["term"] == "common"
+    # k caps the output per doc
+    assert sum(1 for key in got if key[0] == 1) == 2
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    """Two terms with identical tf and df in the same doc -> identical
+    rounded score; rank must order them by term ascending."""
+    from dandi_s3_log_parser_spark.operators.curation import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "zebra apple"), (2, "zebra apple")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, k=2).filter(F.col("doc_id") == 1).collect()
+    assert [r["term"] for r in rows] == ["apple", "zebra"]
+    assert rows[0]["tfidf"] == rows[1]["tfidf"]
+
+
+def test_tfidf_window_plans_as_group_limit(spark):
+    """The per-doc top-k must plan as WindowGroupLimit (map-side
+    partial top-k before the exchange), not a full window sort."""
+    from dandi_s3_log_parser_spark.operators.curation import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        tfidf_top_terms(df, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
