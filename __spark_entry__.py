@@ -831,6 +831,32 @@ def q_tfidf_top_terms(spark, sf):
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
+def q_select_budget(spark, sf):
+    """Token-budget corpus selection: keep the best-quality documents
+    (greedy prefix over score DESC, doc_id ASC) until a 12k-token
+    budget is spent.  Scale shape: score-bin histogram -> tiny-table
+    cumsum -> whole-bin keep/drop via broadcast join; only the single
+    budget-straddling bin runs an exact ordered walk.  No fact-sized
+    window anywhere."""
+    from dandi_s3_log_parser_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from dandi_s3_log_parser_spark.operators.curation import (
+        select_by_token_budget,
+    )
+
+    d = _load(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 4).alias("score"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return select_by_token_budget(scored, 12000).orderBy(
+        F.desc("score"), "doc_id"
+    )
+
+
 def q_source_stats(spark, sf):
     """Per-source corpus stats with a blocklist filter (the curation
     analog of the reference's excluded-IP reducer filter,
@@ -1325,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_corpus": q_upsample_corpus,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "select_budget": q_select_budget,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2270,6 +2297,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5 AND doc_id < 40
             ORDER BY doc_id, rank
         """.format(toks_lower=toks_lower),
+        # token-budget selection: the oracle IS the naive global ordered
+        # cumsum the Spark side deliberately avoids — keep iff the
+        # inclusive running token sum fits in the 12k budget
+        "select_budget": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       round((least(length(text) / 500.0, 1.0)
+                         + least(CASE WHEN len({toks_lower}) > 0
+                               THEN len(list_filter({toks_lower},
+                                        x -> x IN ({_EN})))
+                                    / CAST(len({toks_lower}) AS DOUBLE)
+                               ELSE 0.0 END * 4.0, 1.0)
+                         + greatest(0.0, 1.0 - CASE WHEN length(text) > 0
+                             THEN (length(text) - length(regexp_replace(text,
+                                  '[^\\w\\s]', '', 'g')))
+                                  / CAST(length(text) AS DOUBLE)
+                             ELSE 0.0 END * 4.0)) / 3.0, 4) AS score,
+                       CAST(len({toks}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), walked AS (
+                SELECT doc_id, score, n_tokens,
+                       sum(n_tokens) OVER (
+                           ORDER BY score DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM scored
+            )
+            SELECT doc_id, score, n_tokens FROM walked
+            WHERE cum <= 12000
+            ORDER BY score DESC, doc_id
+        """,
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the
         # compared value is the exact surviving text bytes

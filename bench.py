@@ -141,6 +141,8 @@ HEADLINE_QUERIES = (
     "corpus_line_dedup",
     "upsample_corpus",
     "vocab_topk",
+    "tfidf_top_terms",
+    "select_budget",
     "curation_funnel",
     "per_source_cap",
     "oov_rate",

@@ -849,3 +849,91 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .orderBy(id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (data-constrained pretraining)
+# ---------------------------------------------------------------------------
+
+
+def select_by_token_budget(
+    docs: DataFrame,
+    budget: int,
+    *,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bin_ndp: int = 3,
+) -> DataFrame:
+    """Greedy-prefix selection: walk documents in (score DESC, id ASC)
+    order and keep the maximal prefix whose total token count fits in
+    ``budget`` — "take the best data until the budget is spent", the
+    selection step of every data-constrained pretraining run.
+
+    Semantics (what the oracle recomputes with one window): a doc is
+    kept iff its inclusive running token sum over the global
+    (score DESC, id ASC) order is <= budget.  Prefix semantics, not
+    knapsack: the first overflowing doc and everything after it drop.
+
+    Scale shape (10^12 docs): a global ordered cumsum is the naive
+    formulation and is not runnable at scale (single-partition window
+    over facts).  Instead: (1) bin scores at ``bin_ndp`` decimals and
+    aggregate per-bin token sums — a <=10^bin_ndp-row table; (2) an
+    ordered cumsum over THAT table (the only unpartitioned window, runs
+    over bins, never facts) classifies each bin keep-all / drop-all /
+    edge, where at most ONE bin straddles the budget; (3) facts join
+    the broadcast bin table — keep-all and drop-all rows never see a
+    window; only the single edge bin's docs (corpus_fraction ~
+    10^-bin_ndp) run the exact ordered cumsum.  Equivalence to the
+    naive window holds because rounding is monotone: bins occupy
+    disjoint score intervals, so bin order extends the global order and
+    within-bin (score DESC, id ASC) matches the global tie-break.
+    Token sums are integer arithmetic — no float drift in the budget
+    walk; score enters only through ordering.
+
+    Cost note: the keep/edge union references the fact scan twice and
+    the bin histogram twice (4 logical scans), but every scan is
+    column-pruned to (id, score, tokens) — never text — so at 100 TB
+    the re-read is a few narrow columns; physical exchange reuse
+    typically collapses the duplicate histogram.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    binned = docs.withColumn("_bin", F.round(F.col(score_col), bin_ndp))
+    hist = binned.groupBy("_bin").agg(
+        F.sum(F.col(token_col)).cast("long").alias("_btok")
+    )
+    # bins-table-only window: <= 10^bin_ndp rows by construction
+    wb = Window.orderBy(F.desc("_bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.select(
+        "_bin",
+        "_btok",
+        F.coalesce(F.sum("_btok").over(wb), F.lit(0)).alias("_before"),
+    ).select(
+        "_bin",
+        "_before",
+        F.when(F.col("_before") + F.col("_btok") <= budget, F.lit("keep"))
+        .when(F.col("_before") > budget, F.lit("drop"))
+        .otherwise(F.lit("edge"))
+        .alias("_class"),
+    )
+    j = binned.join(F.broadcast(hist), "_bin")
+    kept_whole = j.filter(F.col("_class") == "keep")
+    # at most one bin straddles the budget; its docs get the exact walk
+    we = (
+        Window.partitionBy("_bin")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept_edge = (
+        j.filter(F.col("_class") == "edge")
+        .withColumn(
+            "_cum", F.col("_before") + F.sum(F.col(token_col)).over(we)
+        )
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )
+    out_cols = [c for c in docs.columns]
+    return kept_whole.unionByName(kept_edge).select(*out_cols)

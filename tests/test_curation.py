@@ -528,3 +528,85 @@ def test_tfidf_window_plans_as_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_select_budget_prefix_semantics(spark):
+    """Hand walk: docs ordered by (score desc, id asc); keep while the
+    inclusive cumsum fits.  The first overflow drops the doc AND the
+    rest of the prefix order (prefix, not knapsack: a later smaller doc
+    that would fit is still dropped)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        select_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.9, 50),
+            (2, 0.9, 30),   # tie with 1 -> id asc: 1 then 2
+            (3, 0.8, 100),  # cum 180 > 150: overflow, dropped
+            (4, 0.7, 10),   # would fit but comes after overflow: dropped
+        ],
+        "doc_id long, score double, n_tokens long",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in select_by_token_budget(df, 150).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_select_budget_edge_bin_exact_walk(spark):
+    """Docs landing in the same coarse bin (bin_ndp=1) with distinct
+    exact scores: the edge-bin walk must use exact score order, and a
+    zero-token doc at the boundary is kept (cum unchanged)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        select_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.94, 60),  # kept: cum 60
+            (2, 0.93, 40),  # kept: cum 100 == budget
+            (3, 0.92, 0),   # kept: cum still 100 <= budget
+            (4, 0.91, 1),   # dropped: cum 101
+        ],
+        "doc_id long, score double, n_tokens long",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in select_by_token_budget(df, 100, bin_ndp=1).collect()
+    )
+    assert got == [1, 2, 3]
+    # budget 0 selects nothing (unless leading docs are zero-token)
+    assert select_by_token_budget(df, 0, bin_ndp=1).count() == 0
+    with pytest.raises(ValueError):
+        select_by_token_budget(df, -1)
+
+
+def test_select_budget_no_fact_sized_window(spark):
+    """The only windows in the plan run over the bin histogram and the
+    single edge bin — never a global unpartitioned window over facts.
+    Check: the plan's unpartitioned Window consumes the bin aggregate
+    (its child contains the _btok sum), not the input rows."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        select_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7) / 10, 10) for i in range(100)],
+        "doc_id long, score double, n_tokens long",
+    )
+    plan = (
+        select_by_token_budget(df, 300)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # every window in the plan involves _bin: either the cumsum over
+    # the bin HISTOGRAM (ordered by _bin desc, input is the _btok
+    # aggregate) or the edge walk PARTITIONED by _bin.  A naive global
+    # selection window would order by (score, doc_id) with no _bin.
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert len(specs) == 3  # 2 histogram cumsums (one per union arm) + edge
+    assert all("_bin" in s for s in specs)
