@@ -831,6 +831,21 @@ def q_tfidf_top_terms(spark, sf):
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
+def q_temperature_weights(spark, sf):
+    """Temperature-based source mixing: p_i ~ n_i^0.3 over per-source
+    token sums (XLM-R scheme).  One map-side-combined aggregate to a
+    sources-sized table; normalizers ride a one-row broadcast."""
+    from dandi_s3_log_parser_spark.functions.text import token_count
+    from dandi_s3_log_parser_spark.operators.curation import (
+        temperature_weights,
+    )
+
+    d = _load(spark, sf, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    return temperature_weights(d, 0.3, token_col="n_tokens")
+
+
 def q_select_budget(spark, sf):
     """Token-budget corpus selection: keep the best-quality documents
     (greedy prefix over score DESC, doc_id ASC) until a 12k-token
@@ -1352,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "select_budget": q_select_budget,
+        "temperature_weights": q_temperature_weights,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2326,6 +2342,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, score, n_tokens FROM walked
             WHERE cum <= 12000
             ORDER BY score DESC, doc_id
+        """,
+        # temperature mixing: full recompute of n_i^alpha normalization
+        "temperature_weights": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(sum(len({toks})) AS DOUBLE) AS _n
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT sum(_n) AS _tot, sum(pow(_n, 0.3)) AS _tot_a
+                FROM per
+            )
+            SELECT source,
+                   CAST(_n AS BIGINT) AS n,
+                   round(_n / _tot, 6) AS p_natural,
+                   round(pow(_n, 0.3) / _tot_a, 6) AS p_temp,
+                   round((pow(_n, 0.3) / _tot_a) / (_n / _tot), 6)
+                       AS weight
+            FROM per CROSS JOIN tot
+            ORDER BY source
         """,
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the

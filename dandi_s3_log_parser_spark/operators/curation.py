@@ -937,3 +937,62 @@ def select_by_token_budget(
     )
     out_cols = [c for c in docs.columns]
     return kept_whole.unionByName(kept_edge).select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing weights (multilingual sampling)
+# ---------------------------------------------------------------------------
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    *,
+    source_col: str = "source",
+    token_col: str | None = None,
+    ndp: int = 6,
+) -> DataFrame:
+    """Per-source sampling weights under temperature ``alpha``:
+    ``p_i = n_i^alpha / sum_j n_j^alpha`` (the XLM-R / mT5 multinomial
+    scheme, alpha<1 boosting low-resource sources — public knowledge).
+
+    ``n_i`` is the source's document count, or its token sum when
+    ``token_col`` is given.  Returns one row per source with the
+    natural frequency ``p_natural``, the tempered probability
+    ``p_temp``, and ``weight = p_temp / p_natural`` — the factor to
+    hand straight to :func:`upsample_corpus` so the *expected* output
+    mix matches the tempered distribution.
+
+    Scale shape: one map-side-combined aggregate over facts (count or
+    token sum keyed by source) to a sources-sized table; the
+    normalization constants ride a one-row broadcast cross join.  No
+    window, no second fact pass.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    n = (
+        F.sum(F.col(token_col)) if token_col is not None
+        else F.count(F.lit(1))
+    ).cast("double")
+    per = docs.groupBy(source_col).agg(n.alias("_n"))
+    tot = per.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.pow("_n", F.lit(alpha))).alias("_tot_a"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(source_col),
+            F.col("_n").cast("long").alias("n"),
+            F.round(F.col("_n") / F.col("_tot"), ndp).alias("p_natural"),
+            F.round(
+                F.pow("_n", F.lit(alpha)) / F.col("_tot_a"), ndp
+            ).alias("p_temp"),
+            F.round(
+                (F.pow("_n", F.lit(alpha)) / F.col("_tot_a"))
+                / (F.col("_n") / F.col("_tot")),
+                ndp,
+            ).alias("weight"),
+        )
+        .orderBy(source_col)
+    )

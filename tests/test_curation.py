@@ -610,3 +610,53 @@ def test_select_budget_no_fact_sized_window(spark):
     ]
     assert len(specs) == 3  # 2 histogram cumsums (one per union arm) + edge
     assert all("_bin" in s for s in specs)
+
+
+def test_temperature_weights_math(spark):
+    """2 sources, 100 vs 1 docs, alpha=0.5: p_temp = 10/11 vs 1/11;
+    alpha=1 is the natural distribution (weights all 1); alpha=0 is
+    uniform (p_temp = 1/k)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        temperature_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(100)] + [(100, "small")],
+        "doc_id long, source string",
+    )
+    w = {r["source"]: r for r in temperature_weights(df, 0.5).collect()}
+    assert w["big"]["p_temp"] == pytest.approx(10 / 11, abs=1e-6)
+    assert w["small"]["p_temp"] == pytest.approx(1 / 11, abs=1e-6)
+    # low-resource boost: small's weight > 1, big's < 1
+    assert w["small"]["weight"] > 1 > w["big"]["weight"]
+    # alpha=1 -> natural mix
+    for r in temperature_weights(df, 1.0).collect():
+        assert r["weight"] == pytest.approx(1.0, abs=1e-6)
+    # alpha=0 -> uniform over sources
+    for r in temperature_weights(df, 0.0).collect():
+        assert r["p_temp"] == pytest.approx(0.5, abs=1e-6)
+    with pytest.raises(ValueError):
+        temperature_weights(df, -0.1)
+
+
+def test_temperature_weights_feed_upsample(spark):
+    """End-to-end mixing: tempered weights handed to upsample_corpus
+    shift the realized mix toward the tempered distribution."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        temperature_weights,
+        upsample_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big", "t") for i in range(200)] + [(200, "small", "t")],
+        "doc_id long, source string, text string",
+    )
+    wts = {
+        r["source"]: r["weight"]
+        for r in temperature_weights(df, 0.3).collect()
+    }
+    out = upsample_corpus(df, wts).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    # small (weight ~41) must be heavily repeated; big downsampled
+    assert got["small"] >= 30
+    assert got["big"] < 200
