@@ -831,6 +831,20 @@ def q_tfidf_top_terms(spark, sf):
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
+def q_repeated_ngram_spans(spark, sf):
+    """Cross-document repeated 5-token spans (exact-substring dedup
+    detection, Lee et al. 2022 shape).  Fingerprint shuffle is a 64-bit
+    hex key, never gram text; interval merge windows partition per
+    document."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    return repeated_ngram_spans(
+        _load(spark, sf, "documents"), k=5, min_docs=2
+    )
+
+
 def q_temperature_weights(spark, sf):
     """Temperature-based source mixing: p_i ~ n_i^0.3 over per-source
     token sums (XLM-R scheme).  One map-side-combined aggregate to a
@@ -1368,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "select_budget": q_select_budget,
         "temperature_weights": q_temperature_weights,
+        "repeated_ngram_spans": q_repeated_ngram_spans,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2362,6 +2377,50 @@ def oracle_sql() -> dict[str, str]:
             FROM per CROSS JOIN tot
             ORDER BY source
         """,
+        # repeated n-gram spans: full recompute — every 5-token window
+        # fingerprinted the same way (substr(sha256(gram),1,16)), grams
+        # in >=2 distinct docs, gaps-and-islands interval merge
+        "repeated_ngram_spans": """
+            WITH t AS (
+                SELECT doc_id, {toks_lower} AS toks FROM documents
+            ), wins AS (
+                SELECT doc_id, i.i - 1 AS pos,
+                       substr(sha256(
+                           array_to_string(toks[i.i : i.i + 4], ' ')),
+                           1, 16) AS g
+                FROM t, unnest(range(1, len(toks) - 5 + 2)) AS i(i)
+                WHERE len(toks) >= 5
+            ), rep AS (
+                SELECT g FROM wins
+                GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT doc_id, pos FROM wins
+                WHERE g IN (SELECT g FROM rep)
+            ), isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN max(pos + 5) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                              OR pos > max(pos + 5) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS brk
+                FROM hits
+            ), grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM isl
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos + 5) AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM grp GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
+        """.format(toks_lower=toks_lower),
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the
         # compared value is the exact surviving text bytes

@@ -143,6 +143,7 @@ HEADLINE_QUERIES = (
     "vocab_topk",
     "tfidf_top_terms",
     "select_budget",
+    "repeated_ngram_spans",
     "curation_funnel",
     "per_source_cap",
     "oov_rate",

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -482,4 +482,101 @@ def simhash_near_dup_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram span detection (exact-substring dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated token spans: every ``k``-token window
+    whose content recurs in >= ``min_docs`` distinct documents, merged
+    into maximal per-document intervals — the detection half of
+    exact-substring deduplication ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022; suffix-array formulation
+    there, fingerprinted k-token windows here).  Returns
+    ``(id, span_start, span_end, n_windows)`` with token-index spans
+    ``[start, end)``; overlapping or touching windows merge.
+
+    Scale shape (10^12 docs): windows shuffle a 64-bit hex fingerprint
+    (``substr(sha256(gram),1,16)``) — never gram text; repeated-gram
+    detection is a two-phase distinct-doc count per fingerprint; the
+    join back is fingerprint-keyed equi-join (AQE may broadcast the
+    repeated set when rare).  The interval merge windows partition by
+    document — bounded by document length, no global window.  Within-
+    doc-only repeats do NOT count toward ``min_docs`` (cross-document
+    criterion); collisions at 64 bits are the same accepted trade as
+    the digest dedup (`exact_dedup`).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = word_tokens(F.col(text_col))
+    nwin = F.size(F.col("_toks")) - F.lit(k) + 1
+    wins = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nwin - 1),
+                    lambda i: F.substring(
+                        F.sha2(
+                            F.concat_ws(
+                                " ", F.slice("_toks", i + 1, k)
+                            ),
+                            256,
+                        ),
+                        1,
+                        16,
+                    ),
+                )
+            ).alias("pos", "_g"),
+        )
+    )
+    repeated = (
+        wins.groupBy("_g")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    hits = wins.join(repeated, "_g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = (
+        hits.withColumn(
+            "_brk",
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        grouped.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max(F.col("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .drop("_island")
+        .orderBy(id_col, "span_start")
     )

@@ -263,3 +263,83 @@ def test_embedding_lsh_near_dup_pairs(spark, vectors):
     }
     assert (0, 1) in got
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram span detection (exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_ngram_spans_hand_computed(spark):
+    """Docs 1+2 share a 6-token run -> with k=5 the two overlapping
+    windows merge into one [2, 8) span in doc 1 and [0, 6) in doc 2;
+    a phrase repeated only WITHIN doc 3 does not count (cross-doc
+    criterion)."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    shared = "p q r s t u"  # 6 tokens
+    rows = [
+        (1, "a b " + shared + " x y"),
+        (2, shared + " z"),
+        (3, "m n o m n o m n o m n o"),  # within-doc repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"]): r
+        for r in repeated_ngram_spans(df, k=5, min_docs=2).collect()
+    }
+    assert set(got) == {(1, 2), (2, 0)}
+    assert got[(1, 2)]["span_end"] == 8 and got[(1, 2)]["n_windows"] == 2
+    assert got[(2, 0)]["span_end"] == 6 and got[(2, 0)]["n_windows"] == 2
+    with pytest.raises(ValueError):
+        repeated_ngram_spans(df, k=0)
+    with pytest.raises(ValueError):
+        repeated_ngram_spans(df, min_docs=1)
+
+
+def test_repeated_ngram_spans_touching_windows_merge(spark):
+    """Two disjoint-but-touching repeated regions merge into one span;
+    a gap strictly wider than zero tokens splits spans."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    a = "c1 c2 c3"            # repeated region A (k=3: one window)
+    b = "d1 d2 d3"            # repeated region B
+    rows = [
+        (1, a + " " + b),       # A at [0,3), B at [3,6): touching -> merge
+        (2, a + " gap1 gap2 gap3 " + b),  # A [0,3), B [6,9): split
+        (3, a), (4, b),         # make both regions cross-doc repeated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in repeated_ngram_spans(df, k=3, min_docs=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert got[1] == [(0, 6)]
+    assert got[2] == [(0, 3), (6, 9)]
+
+
+def test_repeated_ngram_spans_shuffle_carries_fingerprint_not_gram(spark):
+    """The corpus-scale contract: every hash exchange keys on the
+    16-hex fingerprint or the doc id — never raw gram/token text."""
+    import re
+
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")],
+        "doc_id long, text string",
+    )
+    plan = (
+        repeated_ngram_spans(df, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert re.search(r"hashpartitioning\((_g|doc_id)", ln), ln
