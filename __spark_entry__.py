@@ -831,6 +831,16 @@ def q_tfidf_top_terms(spark, sf):
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
+def q_kmeans_assign(spark, sf):
+    """Deterministic Lloyd's k-means (k=8, 2 iterations) over the
+    embeddings table — the SemDeDup clustering step.  Init = 8
+    smallest-id vectors; exact decimal centroid sums; rounded-distance
+    argmin.  The oracle unrolls both iterations in SQL."""
+    from dandi_s3_log_parser_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_load(spark, sf, "embeddings"), k=8, iters=2)
+
+
 def q_repeated_ngram_spans(spark, sf):
     """Cross-document repeated 5-token spans (exact-substring dedup
     detection, Lee et al. 2022 shape).  Fingerprint shuffle is a 64-bit
@@ -1383,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_budget": q_select_budget,
         "temperature_weights": q_temperature_weights,
         "repeated_ngram_spans": q_repeated_ngram_spans,
+        "kmeans_assign": q_kmeans_assign,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -1401,6 +1412,63 @@ _EN = _sql_list(EN_STOPWORDS)
 _DE = _sql_list(DE_STOPWORDS)
 
 _TOKENS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, ndp: int = 6) -> str:
+    """Unrolled Lloyd's iterations mirroring kmeans_assign exactly:
+    same init (k smallest ids), same rounded-distance argmin with
+    cluster-asc tie-break, same exact DECIMAL(25,10) centroid sums,
+    same empty-cluster carry-forward (COALESCE to the prior centroid).
+    Distance uses the identical expression order
+    ``(v.v - 2*v.c) + c.c`` so double arithmetic agrees bitwise."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, cluster, dist FROM (
+                SELECT e.vec_id, c.c AS cluster,
+                       round(list_dot_product(e.v, e.v)
+                             - 2 * list_dot_product(e.v, c.cv)
+                             + list_dot_product(c.cv, c.cv), {ndp}) AS dist
+                FROM e CROSS JOIN {cents} c)
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist ASC, cluster ASC) = 1
+        )"""
+
+    def update(mname: str, cname: str, aname: str, prev: str) -> str:
+        return f"""{mname} AS (
+            SELECT a.cluster,
+                   d.d - 1 AS dim,
+                   CAST(sum(CAST(v[d.d] AS DECIMAL(25,10))) AS DOUBLE)
+                       / count(*) AS cd
+            FROM {aname} a JOIN e USING (vec_id),
+                 unnest(range(1, len(v) + 1)) AS d(d)
+            GROUP BY a.cluster, d.d
+        ), {cname} AS (
+            SELECT p.c, COALESCE(lst.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN (
+                SELECT cluster AS c, list(cd ORDER BY dim) AS cv
+                FROM {mname} GROUP BY cluster) lst USING (c)
+        )"""
+
+    ctes = [
+        """e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS c, v AS cv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT %d)
+        )""" % k
+    ]
+    cents = "c0"
+    for i in range(iters):
+        ctes.append(assign(f"a{i}", cents))
+        ctes.append(update(f"m{i}", f"c{i + 1}", f"a{i}", cents))
+        cents = f"c{i + 1}"
+    ctes.append(assign("afinal", cents))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, cluster, dist FROM afinal ORDER BY vec_id"
+    )
 
 # 60 bit-vote terms rebuilding the SimHash in SQL (one per hash bit):
 # bit i of the simhash is 1 iff more token hashes have bit i set than not
@@ -2421,6 +2489,9 @@ def oracle_sql() -> dict[str, str]:
             FROM grp GROUP BY doc_id, island
             ORDER BY doc_id, span_start
         """.format(toks_lower=toks_lower),
+        # k-means: both Lloyd's iterations unrolled in SQL (see
+        # _kmeans_oracle_sql for the exact-arithmetic contract)
+        "kmeans_assign": _kmeans_oracle_sql(k=8, iters=2),
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the
         # compared value is the exact surviving text bytes

@@ -397,3 +397,102 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means clustering (SemDeDup / cluster-then-curate)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndp: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column, returning
+    the final ``(id, cluster, dist)`` assignment — the clustering step
+    of SemDeDup-style curation (cluster, then dedup/select within
+    cells; Abbas et al. 2023, public knowledge).
+
+    Everything is reproducible bit-for-bit across runs, partitionings,
+    and engines:
+
+    - init: the ``k`` smallest-id vectors (no RNG);
+    - assignment: squared L2 via three sequential-fold dot products
+      (``||v||^2 - 2 v.c + ||c||^2``), ROUNDED to ``ndp`` before the
+      argmin, ties broken by lowest cluster index
+      (``array_position(array_min)`` = first minimum);
+    - update: per-dimension means via EXACT ``decimal(25,10)`` sums —
+      decimal addition is associative, so the result cannot depend on
+      partition order the way double summation does — then one double
+      division by the member count; an emptied cluster keeps its
+      previous centroid.
+
+    Scale shape (10^9 vectors): per iteration one narrow shuffle
+    (cluster,dim)-keyed with map-side partial aggregation; centroids
+    (k x dim doubles) ride the driver, exactly MLlib's treeAggregate
+    pattern — the two driver collects per iteration are k*dim-sized,
+    never fact-sized.  Assignment is a broadcast-literal projection.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1, iters >= 0; got k={k}, iters={iters}")
+    init = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    centroids: dict[int, list[float]] = {
+        i: [float(x) for x in r[vec_col]] for i, r in enumerate(init)
+    }
+
+    def assign(cents: dict[int, list[float]]) -> DataFrame:
+        v = F.col(vec_col)
+        dists = [
+            F.round(
+                dot(v, v)
+                - 2.0 * dot(v, F.array(*[F.lit(x) for x in cents[i]]))
+                + dot(
+                    F.array(*[F.lit(x) for x in cents[i]]),
+                    F.array(*[F.lit(x) for x in cents[i]]),
+                ),
+                ndp,
+            )
+            for i in sorted(cents)
+        ]
+        arr = F.array(*dists)
+        return emb.select(
+            F.col(id_col),
+            v.alias("_v"),
+            (F.array_position(arr, F.array_min(arr)) - 1)
+            .cast("long")
+            .alias("cluster"),
+            F.array_min(arr).alias("dist"),
+        )
+
+    for _ in range(iters):
+        stats = (
+            assign(centroids)
+            .select("cluster", F.posexplode("_v").alias("dim", "_val"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.col("_val").cast("double").cast("decimal(25,10)")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )  # k*dim rows: driver-sized by construction
+        new: dict[int, list[float]] = {}
+        for r in stats:
+            new.setdefault(r["cluster"], [0.0] * len(centroids[0]))[
+                r["dim"]
+            ] = float(r["_s"]) / r["_n"]
+        centroids = {
+            i: new.get(i, centroids[i]) for i in centroids
+        }  # empty cluster keeps previous centroid
+
+    return assign(centroids).select(
+        id_col, "cluster", F.col("dist").alias("dist")
+    ).orderBy(id_col)

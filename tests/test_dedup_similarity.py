@@ -343,3 +343,62 @@ def test_repeated_ngram_spans_shuffle_carries_fingerprint_not_gram(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert re.search(r"hashpartitioning\((_g|doc_id)", ln), ln
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means (SemDeDup clustering step)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_two_obvious_clusters(spark):
+    """Two well-separated 2-D groups with one init point in each
+    (init = k smallest ids -> ids 0 and 1): k=2 Lloyd's lands every
+    point in its group.  (With both inits in ONE group, Lloyd's
+    legitimately converges to a split local optimum — deterministic
+    init means the caller controls that via id assignment.)"""
+    from dandi_s3_log_parser_spark.operators.similarity import kmeans_assign
+
+    rows = [
+        (0, [0.0, 0.1]), (1, [5.0, 5.1]), (2, [0.05, 0.05]),
+        (3, [0.1, 0.0]), (4, [5.1, 5.0]), (5, [5.05, 5.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(df, k=2, iters=3).collect()}
+    assert got[0] == got[2] == got[3] == 0
+    assert got[1] == got[4] == got[5] == 1
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    """The decimal-sum update makes centroids independent of partition
+    order: assignments and distances are identical bit-for-bit."""
+    from dandi_s3_log_parser_spark.operators.similarity import kmeans_assign
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, kmeans_assign(df, k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(
+        df.repartition(13), k=4, iters=2).collect()))
+    assert a == b
+
+
+def test_kmeans_validation_and_zero_iters(spark):
+    """iters=0 assigns against the raw init vectors (each init doc at
+    distance 0 of its own centroid); k > corpus raises."""
+    from dandi_s3_log_parser_spark.operators.similarity import kmeans_assign
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in kmeans_assign(df, k=2, iters=0).collect()}
+    assert got[0]["cluster"] == 0 and got[0]["dist"] == 0.0
+    assert got[1]["cluster"] == 1 and got[1]["dist"] == 0.0
+    assert got[2]["cluster"] == 1  # nearer to init vec 1
+    with pytest.raises(ValueError):
+        kmeans_assign(df, k=5)
+    with pytest.raises(ValueError):
+        kmeans_assign(df, k=0)
