@@ -841,6 +841,15 @@ def q_kmeans_assign(spark, sf):
     return kmeans_assign(_load(spark, sf, "embeddings"), k=8, iters=2)
 
 
+def q_semdedup_pairs(spark, sf):
+    """SemDeDup: cosine >= 0.3 near-dup pairs within k-means cells
+    (k=8, 2 iterations).  The oracle replays the full clustering in
+    SQL and recomputes every intra-cell cosine."""
+    from dandi_s3_log_parser_spark.operators.similarity import semdedup_pairs
+
+    return semdedup_pairs(_load(spark, sf, "embeddings"), 0.3, k=8, iters=2)
+
+
 def q_repeated_ngram_spans(spark, sf):
     """Cross-document repeated 5-token spans (exact-substring dedup
     detection, Lee et al. 2022 shape).  Fingerprint shuffle is a 64-bit
@@ -1394,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "kmeans_assign": q_kmeans_assign,
+        "semdedup_pairs": q_semdedup_pairs,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -1414,7 +1424,9 @@ _DE = _sql_list(DE_STOPWORDS)
 _TOKENS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 2, ndp: int = 6) -> str:
+def _kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, ndp: int = 6, tail: str | None = None
+) -> str:
     """Unrolled Lloyd's iterations mirroring kmeans_assign exactly:
     same init (k smallest ids), same rounded-distance argmin with
     cluster-asc tie-break, same exact DECIMAL(25,10) centroid sums,
@@ -1465,10 +1477,9 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, ndp: int = 6) -> str:
         ctes.append(update(f"m{i}", f"c{i + 1}", f"a{i}", cents))
         cents = f"c{i + 1}"
     ctes.append(assign("afinal", cents))
-    return (
-        "WITH " + ",\n".join(ctes)
-        + "\nSELECT vec_id, cluster, dist FROM afinal ORDER BY vec_id"
-    )
+    if tail is None:
+        tail = "\nSELECT vec_id, cluster, dist FROM afinal ORDER BY vec_id"
+    return "WITH " + ",\n".join(ctes) + tail
 
 # 60 bit-vote terms rebuilding the SimHash in SQL (one per hash bit):
 # bit i of the simhash is 1 iff more token hashes have bit i set than not
@@ -2492,6 +2503,26 @@ def oracle_sql() -> dict[str, str]:
         # k-means: both Lloyd's iterations unrolled in SQL (see
         # _kmeans_oracle_sql for the exact-arithmetic contract)
         "kmeans_assign": _kmeans_oracle_sql(k=8, iters=2),
+        # SemDeDup: replay the clustering, then every intra-cell cosine
+        "semdedup_pairs": _kmeans_oracle_sql(
+            k=8,
+            iters=2,
+            tail="""
+            , pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(ea.v, eb.v)
+                             / (sqrt(list_dot_product(ea.v, ea.v))
+                                * sqrt(list_dot_product(eb.v, eb.v))),
+                             6) AS cos
+                FROM afinal a
+                JOIN afinal b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                JOIN e ea ON ea.vec_id = a.vec_id
+                JOIN e eb ON eb.vec_id = b.vec_id
+            )
+            SELECT id_a, id_b, cos FROM pairs
+            WHERE cos >= 0.3 ORDER BY id_a, id_b""",
+        ),
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the
         # compared value is the exact surviving text bytes

@@ -144,6 +144,8 @@ HEADLINE_QUERIES = (
     "tfidf_top_terms",
     "select_budget",
     "repeated_ngram_spans",
+    "kmeans_assign",
+    "semdedup_pairs",
     "curation_funnel",
     "per_source_cap",
     "oov_rate",

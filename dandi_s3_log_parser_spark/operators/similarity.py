@@ -496,3 +496,51 @@ def kmeans_assign(
     return assign(centroids).select(
         id_col, "cluster", F.col("dist").alias("dist")
     ).orderBy(id_col)
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs =
+    cosine >= ``threshold`` computed ONLY within k-means cells — the
+    clustering bounds the quadratic blow-up to per-cell size, which is
+    the whole point of the method.  Returns ``(id_a, id_b, cos)`` with
+    id_a < id_b, cosine ROUNDED to ``ndp`` before the threshold (so
+    engines agree at the boundary).
+
+    Scale shape (10^9 vectors): one cluster-keyed equi-join; per-cell
+    work is (n/k)^2, so ``k`` must grow with the corpus (SemDeDup used
+    ~50k cells for LAION) — pair volume is the method's documented
+    trade, not a plan accident.  Recall is bounded by the clustering:
+    a near-dup pair split across cells is missed, exactly as in the
+    paper.
+    """
+    asg = kmeans_assign(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, ndp=ndp
+    ).select(id_col, "cluster")
+    j = asg.join(emb.select(id_col, vec_col), id_col)
+    a, b = j.alias("a"), j.alias("b")
+    cos = F.round(
+        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), ndp
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

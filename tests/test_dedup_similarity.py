@@ -402,3 +402,32 @@ def test_kmeans_validation_and_zero_iters(spark):
         kmeans_assign(df, k=5)
     with pytest.raises(ValueError):
         kmeans_assign(df, k=0)
+
+
+def test_semdedup_pairs_within_cell_found_cross_cell_missed(spark):
+    """Near-identical vectors inside one k-means cell are paired;
+    SemDeDup by construction misses a high-cosine pair whose members
+    land in different cells (the paper's documented recall trade)."""
+    from dandi_s3_log_parser_spark.operators.similarity import semdedup_pairs
+
+    rows = [
+        # cell A seed (id 0) and two near-dups of it
+        (0, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+        (3, [0.998, 0.02, 0.0]),
+        # cell B seed (id 1) and one near-dup
+        (1, [0.0, 1.0, 0.0]), (4, [0.01, 0.999, 0.0]),
+        # far from both seeds but nearer B: assigned to B, low cos to 4
+        (5, [0.0, 0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(df, 0.95, k=2, iters=2).collect()
+    }
+    assert (0, 2) in pairs and (0, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) in pairs
+    # cross-cell: cos(2,4) is low anyway, but cos-similar members of
+    # DIFFERENT cells never pair: no (x, 5) pair and no A-B pair at all
+    assert all(
+        not ((a in (0, 2, 3)) ^ (b in (0, 2, 3))) for a, b in pairs
+    )
