@@ -831,6 +831,32 @@ def q_tfidf_top_terms(spark, sf):
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
+def q_url_canonicalize(spark, sf):
+    """Canonical-URL normalization (crawl-dedup key).  The synthetic
+    corpus has uniform URLs, so six messy variants — case, default
+    ports, fragments, tracking params, unsorted query, trailing slash,
+    plus one non-URL junk row — are synthesized per doc_id%6 on BOTH
+    engines, exercising every rule."""
+    from dandi_s3_log_parser_spark.functions.url import canonical_url
+
+    d = _load(spark, sf, "documents")
+    m = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://Example.COM:443/Dir"), sid, F.lit("/")))
+        .when(m == 1, F.concat(F.lit("http://site.org:80/a"), sid, F.lit("?b=2&a=1&utm_source=x")))
+        .when(m == 2, F.concat(F.lit("https://h.net/p"), sid, F.lit("#frag")))
+        .when(m == 3, F.concat(F.lit("HTTPS://UPPER.net/x?gclid=42&id="), sid))
+        .when(m == 4, F.concat(F.lit("not a url "), sid))
+        .otherwise(F.concat(F.lit("https://dup.com/same"), sid, F.lit("?ref=zz&z=9")))
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canonical_url(url).alias("canon"),
+    ).orderBy("doc_id")
+
+
 def q_kmeans_assign(spark, sf):
     """Deterministic Lloyd's k-means (k=8, 2 iterations) over the
     embeddings table — the SemDeDup clustering step.  Init = 8
@@ -1404,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "kmeans_assign": q_kmeans_assign,
         "semdedup_pairs": q_semdedup_pairs,
+        "url_canonicalize": q_url_canonicalize,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2523,6 +2550,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos FROM pairs
             WHERE cos >= 0.3 ORDER BY id_a, id_b""",
         ),
+        # canonical URL: identical regex rules, DuckDB-side recompute
+        "url_canonicalize": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       CASE doc_id % 6
+                         WHEN 0 THEN 'https://Example.COM:443/Dir'
+                                     || doc_id || '/'
+                         WHEN 1 THEN 'http://site.org:80/a' || doc_id
+                                     || '?b=2&a=1&utm_source=x'
+                         WHEN 2 THEN 'https://h.net/p' || doc_id || '#frag'
+                         WHEN 3 THEN 'HTTPS://UPPER.net/x?gclid=42&id='
+                                     || doc_id
+                         WHEN 4 THEN 'not a url ' || doc_id
+                         ELSE 'https://dup.com/same' || doc_id
+                              || '?ref=zz&z=9'
+                       END AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                           AS hostport,
+                       regexp_replace(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                           '/+$', '') AS path,
+                       array_to_string(list_sort(list_filter(
+                           string_split(
+                               regexp_extract(url, '\?([^#]*)', 1), '&'),
+                           x -> x <> '' AND NOT regexp_matches(x,
+                             '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))),
+                           '&') AS q
+                FROM u
+            )
+            SELECT doc_id, url,
+                   CASE WHEN scheme <> '' THEN
+                       scheme || '://'
+                       || CASE WHEN scheme = 'http'
+                               THEN regexp_replace(hostport, ':80$', '')
+                               WHEN scheme = 'https'
+                               THEN regexp_replace(hostport, ':443$', '')
+                               ELSE hostport END
+                       || path
+                       || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                   ELSE url END AS canon
+            FROM parts ORDER BY doc_id
+        """,
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the
         # compared value is the exact surviving text bytes
