@@ -831,6 +831,30 @@ def q_tfidf_top_terms(spark, sf):
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
+def q_snapshot_delta(spark, sf):
+    """Incremental-recrawl classification between two synthesized
+    crawl snapshots: prev drops ids =9 (mod 10), new drops ids =0 and
+    rewrites content for ids =3 (mod 7) — exercising added / removed /
+    changed / unchanged in one full outer join."""
+    from dandi_s3_log_parser_spark.operators.dedup import snapshot_delta
+
+    d = _load(spark, sf, "documents").select("doc_id", "text")
+    prev = d.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("digest")
+    )
+    new = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(F.col("text"), F.lit("v2")),
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("digest"),
+    )
+    return snapshot_delta(prev, new, key_col="doc_id").orderBy("key")
+
+
 def q_url_canonicalize(spark, sf):
     """Canonical-URL normalization (crawl-dedup key).  The synthetic
     corpus has uniform URLs, so six messy variants — case, default
@@ -1431,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "semdedup_pairs": q_semdedup_pairs,
         "url_canonicalize": q_url_canonicalize,
+        "snapshot_delta": q_snapshot_delta,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2597,6 +2622,27 @@ def oracle_sql() -> dict[str, str]:
                        || CASE WHEN q <> '' THEN '?' || q ELSE '' END
                    ELSE url END AS canon
             FROM parts ORDER BY doc_id
+        """,
+        # snapshot delta: same synthesized snapshots, FULL OUTER JOIN
+        "snapshot_delta": """
+            WITH prev AS (
+                SELECT doc_id AS key, sha256(text) AS prev_digest
+                FROM documents WHERE doc_id % 10 <> 9
+            ), new AS (
+                SELECT doc_id AS key,
+                       sha256(CASE WHEN doc_id % 7 = 3
+                              THEN text || 'v2' ELSE text END)
+                           AS new_digest
+                FROM documents WHERE doc_id % 10 <> 0
+            )
+            SELECT key,
+                   CASE WHEN prev_digest IS NULL THEN 'added'
+                        WHEN new_digest IS NULL THEN 'removed'
+                        WHEN prev_digest = new_digest THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   prev_digest, new_digest
+            FROM prev FULL OUTER JOIN new USING (key)
+            ORDER BY key
         """,
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the

@@ -580,3 +580,54 @@ def repeated_ngram_spans(
         .drop("_island")
         .orderBy(id_col, "span_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot delta (incremental-recrawl classification)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_delta(
+    prev: DataFrame,
+    new: DataFrame,
+    *,
+    key_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Classify every key across two crawl snapshots: ``added``
+    (only in new), ``removed`` (only in prev), ``changed`` (both, but
+    content digest differs), ``unchanged`` — the incremental-recrawl
+    primitive that decides what re-enters the pipeline.
+
+    Inputs must be one row per key (pre-aggregate a multi-fetch crawl
+    first — this operator refuses ambiguity rather than guessing,
+    because 'which fetch counts' is a policy decision).  Returns
+    ``(key, status, prev_digest, new_digest)``.
+
+    Scale shape (10^10 URLs): ONE key-keyed full outer join carrying
+    only (key, digest) — content never moves; both sides partial-
+    aggregate nothing and AQE handles skewed hosts.  Downstream,
+    ``added``+``changed`` keys semi-join the new crawl to select the
+    reprocess set.
+    """
+    p = prev.select(
+        F.col(key_col).alias("key"),
+        F.col(digest_col).alias("prev_digest"),
+    )
+    n = new.select(
+        F.col(key_col).alias("key"),
+        F.col(digest_col).alias("new_digest"),
+    )
+    return p.join(n, "key", "full_outer").select(
+        "key",
+        F.when(F.col("prev_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(
+            F.col("prev_digest") == F.col("new_digest"),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "prev_digest",
+        "new_digest",
+    )

@@ -431,3 +431,22 @@ def test_semdedup_pairs_within_cell_found_cross_cell_missed(spark):
     assert all(
         not ((a in (0, 2, 3)) ^ (b in (0, 2, 3))) for a, b in pairs
     )
+
+
+def test_snapshot_delta_all_statuses(spark):
+    """Hand-built snapshots: one of each status, plus digest columns
+    surfaced for downstream policy."""
+    from dandi_s3_log_parser_spark.operators.dedup import snapshot_delta
+
+    prev = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3")], "url string, digest string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4")], "url string, digest string"
+    )
+    got = {r["key"]: r for r in snapshot_delta(prev, new).collect()}
+    assert got["u1"]["status"] == "unchanged"
+    assert got["u2"]["status"] == "changed" and got["u2"]["new_digest"] == "dX"
+    assert got["u3"]["status"] == "removed" and got["u3"]["new_digest"] is None
+    assert got["u4"]["status"] == "added" and got["u4"]["prev_digest"] is None
+    assert len(got) == 4
