@@ -831,6 +831,15 @@ def q_tfidf_top_terms(spark, sf):
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
+def q_semdedup_keep(spark, sf):
+    """Full SemDeDup decision: within-cell pairs -> connected
+    components -> keep lowest id per semantic component.  Oracle
+    replays clustering + pairs + a recursive transitive closure."""
+    from dandi_s3_log_parser_spark.operators.similarity import semdedup_keep
+
+    return semdedup_keep(_load(spark, sf, "embeddings"), 0.3, k=8, iters=2)
+
+
 def q_snapshot_delta(spark, sf):
     """Incremental-recrawl classification between two synthesized
     crawl snapshots: prev drops ids =9 (mod 10), new drops ids =0 and
@@ -1456,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": q_semdedup_pairs,
         "url_canonicalize": q_url_canonicalize,
         "snapshot_delta": q_snapshot_delta,
+        "semdedup_keep": q_semdedup_keep,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2575,6 +2585,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos FROM pairs
             WHERE cos >= 0.3 ORDER BY id_a, id_b""",
         ),
+        # full SemDeDup decision: clustering replay + pairs + recursive
+        # transitive closure + keep-lowest-id (WITH RECURSIVE spliced in
+        # because the reach CTE is self-referential)
+        "semdedup_keep": _kmeans_oracle_sql(
+            k=8,
+            iters=2,
+            tail="""
+            , pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM afinal a
+                JOIN afinal b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                JOIN e ea ON ea.vec_id = a.vec_id
+                JOIN e eb ON eb.vec_id = b.vec_id
+                WHERE round(list_dot_product(ea.v, eb.v)
+                            / (sqrt(list_dot_product(ea.v, ea.v))
+                               * sqrt(list_dot_product(eb.v, eb.v))),
+                            6) >= 0.3
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT DISTINCT a AS id, a AS r FROM edges
+                UNION
+                SELECT e2.a, reach.r FROM reach
+                JOIN edges e2 ON e2.b = reach.id
+            ), comp AS (
+                SELECT id, min(r) AS rep FROM reach GROUP BY id
+            )
+            SELECT ev.vec_id,
+                   COALESCE(comp.rep, ev.vec_id) AS rep_id,
+                   COALESCE(comp.rep, ev.vec_id) = ev.vec_id AS keep
+            FROM e ev LEFT JOIN comp ON comp.id = ev.vec_id
+            ORDER BY ev.vec_id""",
+        ).replace("WITH ", "WITH RECURSIVE ", 1),
         # canonical URL: identical regex rules, DuckDB-side recompute
         "url_canonicalize": r"""
             WITH u AS (

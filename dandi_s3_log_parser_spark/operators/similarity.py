@@ -544,3 +544,52 @@ def semdedup_pairs(
         .filter(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndp: int = 6,
+) -> DataFrame:
+    """The complete SemDeDup decision: within-cell cosine pairs ->
+    connected components (pairs are not transitive) -> keep the lowest
+    id per semantic component.  Returns every input id with its
+    component representative and the keep flag — the curation join key
+    for dropping semantic duplicates.
+
+    Composition of :func:`semdedup_pairs` and
+    :func:`~..operators.dedup.dedup_clusters` (pointer-jumping CC);
+    vectors without any near-dup pair are their own singleton
+    component and are always kept.
+    """
+    from .dedup import dedup_clusters
+
+    pairs = semdedup_pairs(
+        emb,
+        threshold,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        ndp=ndp,
+    )
+    comp = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("rep_id")
+    )
+    return (
+        emb.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
+            (
+                F.coalesce("rep_id", F.col(id_col)) == F.col(id_col)
+            ).alias("keep"),
+        )
+        .orderBy(id_col)
+    )

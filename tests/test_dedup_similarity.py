@@ -450,3 +450,26 @@ def test_snapshot_delta_all_statuses(spark):
     assert got["u3"]["status"] == "removed" and got["u3"]["new_digest"] is None
     assert got["u4"]["status"] == "added" and got["u4"]["prev_digest"] is None
     assert len(got) == 4
+
+
+def test_semdedup_keep_transitive_and_singletons(spark):
+    """(a~b) and (b~c) pairs collapse into ONE component even when
+    (a,c) alone misses the threshold — the keep decision is per
+    component, not per pair; singletons always keep."""
+    from dandi_s3_log_parser_spark.operators.similarity import semdedup_keep
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.98, 0.199, 0.0]),     # ~11.5 deg from 0
+        (2, [0.921, 0.3894, 0.0]),   # ~23 deg from 0, ~11.5 from 1
+        (3, [0.0, 0.0, 1.0]),        # lone vector, own cell or no pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # threshold between cos(11.5deg)~0.98 and cos(23deg)~0.92: the 0-2
+    # pair fails but 0-1 and 1-2 pass -> one chained component {0,1,2}
+    got = {r["vec_id"]: r for r in
+           semdedup_keep(df, 0.95, k=2, iters=2).collect()}
+    assert got[0]["keep"] and got[0]["rep_id"] == 0
+    assert not got[1]["keep"] and got[1]["rep_id"] == 0
+    assert not got[2]["keep"] and got[2]["rep_id"] == 0
+    assert got[3]["keep"] and got[3]["rep_id"] == 3
