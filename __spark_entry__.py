@@ -831,6 +831,31 @@ def q_tfidf_top_terms(spark, sf):
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
+def q_dsir_importance(spark, sf):
+    """DSIR importance scores: target-domain sample = docs with
+    doc_id % 5 == 0, scored corpus = all docs.  Laplace-smoothed
+    unigram LMs over the union vocabulary; mean per-token log ratio."""
+    from dandi_s3_log_parser_spark.operators.curation import dsir_importance
+
+    d = _load(spark, sf, "documents")
+    return dsir_importance(d, d.filter(F.col("doc_id") % 5 == 0)).orderBy(
+        "doc_id"
+    )
+
+
+def q_gumbel_select(spark, sf):
+    """DSIR end-to-end: importance scores -> seeded Gumbel-top-50
+    resampling (sampling w/o replacement from softmax(logratio))."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        dsir_importance,
+        gumbel_topk,
+    )
+
+    d = _load(spark, sf, "documents")
+    scored = dsir_importance(d, d.filter(F.col("doc_id") % 5 == 0))
+    return gumbel_topk(scored, 50).orderBy(F.desc("gumbel_key"), "doc_id")
+
+
 def q_semdedup_keep(spark, sf):
     """Full SemDeDup decision: within-cell pairs -> connected
     components -> keep lowest id per semantic component.  Oracle
@@ -1466,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "snapshot_delta": q_snapshot_delta,
         "semdedup_keep": q_semdedup_keep,
+        "dsir_importance": q_dsir_importance,
+        "gumbel_select": q_gumbel_select,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2689,6 +2716,64 @@ def oracle_sql() -> dict[str, str]:
             FROM prev FULL OUTER JOIN new USING (key)
             ORDER BY key
         """,
+        # DSIR: full recompute of both Laplace-smoothed unigram LMs
+        "dsir_importance": """
+            WITH toks AS (
+                SELECT doc_id, unnest({toks_lower}) AS t FROM documents
+            ), vt AS (
+                SELECT t, count(*) AS ct FROM toks
+                WHERE doc_id % 5 = 0 GROUP BY t
+            ), vc AS (
+                SELECT t, count(*) AS cc FROM toks GROUP BY t
+            ), vocab AS (
+                SELECT t, COALESCE(cc, 0) AS cc, COALESCE(ct, 0) AS ct
+                FROM vc FULL OUTER JOIN vt USING (t)
+            ), scal AS (
+                SELECT CAST(sum(cc) AS DOUBLE) AS tc,
+                       CAST(sum(ct) AS DOUBLE) AS tt,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM vocab
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln((ct + 1) / (tt + v))
+                             - ln((cc + 1) / (tc + v))), 4) AS logratio
+            FROM toks JOIN vocab ON toks.t = vocab.t CROSS JOIN scal
+            GROUP BY doc_id ORDER BY doc_id
+        """.format(toks_lower=toks_lower),
+        # Gumbel-top-k over the DSIR scores: same md5-seeded noise
+        "gumbel_select": """
+            WITH toks AS (
+                SELECT doc_id, unnest({toks_lower}) AS t FROM documents
+            ), vt AS (
+                SELECT t, count(*) AS ct FROM toks
+                WHERE doc_id % 5 = 0 GROUP BY t
+            ), vc AS (
+                SELECT t, count(*) AS cc FROM toks GROUP BY t
+            ), vocab AS (
+                SELECT t, COALESCE(cc, 0) AS cc, COALESCE(ct, 0) AS ct
+                FROM vc FULL OUTER JOIN vt USING (t)
+            ), scal AS (
+                SELECT CAST(sum(cc) AS DOUBLE) AS tc,
+                       CAST(sum(ct) AS DOUBLE) AS tt,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM vocab
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       round(avg(ln((ct + 1) / (tt + v))
+                                 - ln((cc + 1) / (tc + v))), 4) AS logratio
+                FROM toks JOIN vocab ON toks.t = vocab.t CROSS JOIN scal
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, logratio,
+                   round(logratio + -ln(-ln(
+                       (CAST(concat('0x', substr(md5('gumbel-v1|'
+                             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 0.5) / 4294967296.0)), 6) AS gumbel_key
+            FROM scored
+            ORDER BY gumbel_key DESC, doc_id LIMIT 50
+        """.format(toks_lower=toks_lower),
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the
         # compared value is the exact surviving text bytes

@@ -996,3 +996,121 @@ def temperature_weights(
         )
         .orderBy(source_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (data selection for language models)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndp: int = 4,
+) -> DataFrame:
+    """Per-document importance score for target-domain selection: the
+    mean per-token log-likelihood ratio between a target-sample unigram
+    LM and the corpus unigram LM (the DSIR scheme — Data Selection via
+    Importance Resampling, Xie et al. 2023, with unigrams standing in
+    for their hashed n-gram features).  Positive = looks like the
+    target domain; rank or Gumbel-sample by this score to select.
+
+    Both LMs are add-one (Laplace) smoothed over the UNION vocabulary,
+    so every token seen in either corpus has nonzero mass in both.
+    Returns ``(id, n_tokens, logratio)``, rounded to ``ndp`` (the
+    engines sum doubles in different orders; 1e-12 jitter is far
+    inside the rounding — same argument as ``unigram_logprob``).
+
+    Scale shape (10^12 docs, 10^6-doc target): corpus text is
+    tokenized ONCE and feeds both the vocabulary aggregate and the
+    probability probe; shuffles carry (token, count) and (id, double),
+    never text.  The token table is corpus-sized so the probe is a
+    token-keyed shuffle join (not broadcast); the three scalars
+    (two totals + union-vocab size) ride a one-row broadcast.
+    """
+    from ..operators.dedup import word_tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_tok")
+    )
+    tgt_toks = target.select(
+        F.explode(word_tokens(F.col(text_col))).alias("_tok")
+    )
+    vc = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cc"))
+    vt = tgt_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_ct"))
+    vocab = vc.join(vt, "_tok", "full_outer").select(
+        "_tok",
+        F.coalesce("_cc", F.lit(0)).alias("_cc"),
+        F.coalesce("_ct", F.lit(0)).alias("_ct"),
+    )
+    scalars = vocab.agg(
+        F.sum("_cc").cast("double").alias("_tc"),
+        F.sum("_ct").cast("double").alias("_tt"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    scored = (
+        toks.join(vocab, "_tok")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            (
+                F.log((F.col("_ct") + 1) / (F.col("_tt") + F.col("_v")))
+                - F.log((F.col("_cc") + 1) / (F.col("_tc") + F.col("_v")))
+            ).alias("_lr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("_lr"), ndp).alias("logratio"),
+    )
+
+
+def gumbel_topk(
+    scored: DataFrame,
+    k: int,
+    *,
+    score_col: str = "logratio",
+    id_col: str = "doc_id",
+    salt: str = "gumbel-v1",
+    ndp: int = 6,
+) -> DataFrame:
+    """Seeded Gumbel-top-k: select ``k`` rows with probability
+    proportional to ``exp(score)`` — sampling without replacement from
+    the softmax of the scores (the Gumbel-max trick; this is the
+    resampling step DSIR runs on its importance scores, public
+    knowledge).  Adding ``g = -ln(-ln(u))`` with u ~ Uniform(0,1) to
+    each score and taking the arg-top-k IS that sample.
+
+    Reproducible by construction: u derives from ``md5(salt|id)``
+    (``(hex8 + 0.5) / 2^32`` — the +0.5 keeps u strictly inside (0,1)
+    so the double log never hits infinity), the same engine-portable
+    draw as :func:`stratified_sample`.  The perturbed key is ROUNDED to
+    ``ndp`` before ranking, ties broken by id.
+
+    Scale shape: pure projection + ordered ``limit`` — Spark plans
+    TakeOrderedAndProject (per-partition top-k, no global sort);
+    no shuffle beyond the final k-row gather.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    x = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (x + 0.5) / F.lit(4294967296.0)
+    key = F.round(F.col(score_col) + -F.log(-F.log(u)), ndp)
+    return (
+        scored.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

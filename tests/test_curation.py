@@ -660,3 +660,96 @@ def test_temperature_weights_feed_upsample(spark):
     # small (weight ~41) must be heavily repeated; big downsampled
     assert got["small"] >= 30
     assert got["big"] < 200
+
+
+def test_dsir_importance_hand_computed(spark):
+    """Tiny corpus, Laplace math by hand: target-like doc scores above
+    the off-target doc, and both means match the closed form."""
+    import math
+
+    from dandi_s3_log_parser_spark.operators.curation import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha beta"), (1, "beta gamma")],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id = 0")
+    got = {r["doc_id"]: r for r in dsir_importance(docs, target).collect()}
+    # corpus: alpha 2, beta 2, gamma 1 (T_c=5); target: alpha 2, beta 1
+    # (T_t=3); union V=3
+    lr_alpha = math.log((2 + 1) / (3 + 3)) - math.log((2 + 1) / (5 + 3))
+    lr_beta = math.log((1 + 1) / 6) - math.log((2 + 1) / 8)
+    lr_gamma = math.log((0 + 1) / 6) - math.log((1 + 1) / 8)
+    want0 = round((2 * lr_alpha + lr_beta) / 3, 4)
+    want1 = round((lr_beta + lr_gamma) / 2, 4)
+    assert got[0]["logratio"] == pytest.approx(want0, abs=1e-9)
+    assert got[1]["logratio"] == pytest.approx(want1, abs=1e-9)
+    assert got[0]["logratio"] > got[1]["logratio"]
+    assert got[0]["n_tokens"] == 3 and got[1]["n_tokens"] == 2
+
+
+def test_dsir_single_tokenize_no_text_shuffle(spark):
+    """The corpus-scale contract: text is tokenized once and never
+    shuffled — every hash exchange carries the token or the doc id."""
+    import re
+
+    from dandi_s3_log_parser_spark.operators.curation import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c")], "doc_id long, text string"
+    )
+    plan = (
+        dsir_importance(docs, docs.filter("doc_id = 0"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert not re.search(r"hashpartitioning\(text", ln), ln
+
+
+def test_gumbel_topk_deterministic_and_score_dominant(spark):
+    """Same salt -> identical selection under repartitioning; the
+    md5-seeded noise is bounded by ln(2^32) ~ 22, so a 100-point score
+    gap is deterministic: all high-score rows select first.  The noise
+    column matches the closed form."""
+    import hashlib
+    import math
+
+    from dandi_s3_log_parser_spark.operators.curation import gumbel_topk
+
+    rows = [(i, 100.0 if i < 10 else 0.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, logratio double")
+    sel = gumbel_topk(df, 15).collect()
+    ids = {r["doc_id"] for r in sel}
+    assert len(sel) == 15
+    assert set(range(10)) <= ids  # every high-score row selected
+    # closed-form noise check for one row
+    r0 = next(r for r in sel if r["doc_id"] == 0)
+    h = int(hashlib.md5(b"gumbel-v1|0").hexdigest()[:8], 16)
+    u = (h + 0.5) / 4294967296.0
+    assert r0["gumbel_key"] == pytest.approx(
+        round(100.0 + -math.log(-math.log(u)), 6), abs=1e-9
+    )
+    # partition-invariant
+    again = gumbel_topk(df.repartition(7), 15).collect()
+    assert sorted(map(tuple, sel)) == sorted(map(tuple, again))
+    # different salt -> different draw among the tied-score tail
+    other = gumbel_topk(df, 15, salt="gumbel-v2").collect()
+    assert {r["doc_id"] for r in other} != ids
+    with pytest.raises(ValueError):
+        gumbel_topk(df, 0)
+
+
+def test_gumbel_topk_plans_take_ordered(spark):
+    """No global sort: the ordered limit must plan as
+    TakeOrderedAndProject."""
+    from dandi_s3_log_parser_spark.operators.curation import gumbel_topk
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, logratio double"
+    )
+    plan = (
+        gumbel_topk(df, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

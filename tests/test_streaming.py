@@ -228,3 +228,64 @@ def test_stream_first_seen_fails_open_past_cap(spark, tmp_path):
     # cap 0 = state full from the start: every row (even the k0 repeat)
     # passes through — fail open, never silent unbounded state
     assert n == 11
+
+
+def test_stream_url_frontier_dedup_on_canonical_key(spark, tmp_path):
+    """Crawl-frontier composition: canonicalize URLs IN the stream and
+    first-seen-dedup on the canonical form, so refetch spellings
+    (tracking params, case, port) collapse across microbatches while
+    genuinely new resources pass."""
+    from pyspark.sql import functions as F
+
+    from dandi_s3_log_parser_spark.functions.url import canonical_url
+    from dandi_s3_log_parser_spark.streaming.stream_dedup import (
+        stream_first_seen,
+    )
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def drain():
+        stream = (
+            spark.readStream.schema("host string, url string")
+            .parquet(str(src))
+            .withColumn("canon", canonical_url(F.col("url")))
+        )
+        q = (
+            stream_first_seen(stream, key_col="host", dedup_col="canon")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    b1 = [
+        ("site.org", "https://Site.ORG/page?b=1&a=2"),
+        ("site.org", "https://site.org/other"),
+    ]
+    spark.createDataFrame(b1, "host string, url string").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    # batch 2: two new spellings of /page (must be dropped), one new URL
+    b2 = [
+        ("site.org", "HTTPS://site.org:443/page/?a=2&b=1"),
+        ("site.org", "https://site.org/page?a=2&b=1&utm_source=x#f"),
+        ("site.org", "https://site.org/third"),
+    ]
+    spark.createDataFrame(b2, "host string, url string").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+
+    canons = sorted(
+        r["canon"] for r in spark.read.parquet(str(out)).collect()
+    )
+    assert canons == [
+        "https://site.org/other",
+        "https://site.org/page?a=2&b=1",
+        "https://site.org/third",
+    ]
