@@ -1198,6 +1198,54 @@ def q_dedup_keep_policy(spark, sf):
     )
 
 
+def q_rolling_anomaly(spark, sf):
+    """Rolling z-score anomaly detection on per-(event_type, day)
+    request counts — 7-day trailing baseline, strictly-before frame,
+    population stddev, flag at |z| > 3."""
+    from dandi_s3_log_parser_spark.operators.anomaly import rolling_anomaly
+
+    return rolling_anomaly(
+        _load(spark, sf, "events"), key_col="event_type", ts_col="ts"
+    ).orderBy("key", "day")
+
+
+def q_inverted_index(spark, sf):
+    """Inverted index over the documents corpus: token -> exact df +
+    first-20 posting list (WindowGroupLimit-capped per token)."""
+    from dandi_s3_log_parser_spark.operators.curation import inverted_index
+
+    return inverted_index(
+        _load(spark, sf, "documents"), max_postings=20
+    ).orderBy("token")
+
+
+def q_domain_blocklist(spark, sf):
+    """Domain deny-list filtering on suffix match: hosts synthesized
+    per doc_id%5 on BOTH engines; blocklist = {bad.com,
+    ads.tracker.net}.  Covers exact match, subdomain match, a host
+    whose PARENT is not listed (tracker.net survives), and clean
+    hosts."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        filter_blocked_domains,
+    )
+
+    d = _load(spark, sf, "documents")
+    m = F.col("doc_id") % 5
+    sid = F.col("doc_id").cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.spam"), sid, F.lit(".bad.com")))
+        .when(m == 1, F.lit("ads.tracker.net"))
+        .when(m == 2, F.concat(F.lit("sub"), sid, F.lit(".ok.org")))
+        .when(m == 3, F.lit("tracker.net"))
+        .otherwise(F.lit("deep.ads.tracker.net"))
+    )
+    hosts = d.select("doc_id", host.alias("host"))
+    block = spark.createDataFrame(
+        [("BAD.com",), ("ads.tracker.net",)], "domain string"
+    )
+    return filter_blocked_domains(hosts, block).orderBy("doc_id")
+
+
 def q_sessionize(spark, sf):
     """Gap-based sessionization over the events stream (720-min gap:
     the corpus' median per-user gap is ~440 min, so sessions mix
@@ -1493,6 +1541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": q_semdedup_keep,
         "dsir_importance": q_dsir_importance,
         "gumbel_select": q_gumbel_select,
+        "rolling_anomaly": q_rolling_anomaly,
+        "inverted_index": q_inverted_index,
+        "domain_blocklist": q_domain_blocklist,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2774,6 +2825,80 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY gumbel_key DESC, doc_id LIMIT 50
         """.format(toks_lower=toks_lower),
+        # rolling anomaly: same strictly-before 7-day frame, population
+        # stddev from running sums, identical NULL gating
+        "rolling_anomaly": """
+            WITH daily AS (
+                SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS day,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ), w AS (
+                SELECT key, day, n_events,
+                       avg(CAST(n_events AS DOUBLE)) OVER win AS m,
+                       avg(CAST(n_events AS DOUBLE)
+                           * CAST(n_events AS DOUBLE)) OVER win AS m2,
+                       count(n_events) OVER win AS hist
+                FROM daily
+                WINDOW win AS (PARTITION BY key ORDER BY day
+                               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ), s AS (
+                SELECT key, day, CAST(n_events AS BIGINT) AS n_events,
+                       m, hist,
+                       sqrt(greatest(m2 - m * m, 0.0)) AS sd
+                FROM w
+            )
+            SELECT key, day, n_events,
+                   CASE WHEN hist >= 3 THEN round(m, 4)
+                        END AS baseline_mean,
+                   CASE WHEN hist >= 3 THEN round(sd, 4)
+                        END AS baseline_std,
+                   CASE WHEN hist >= 3 AND sd > 0
+                        THEN round((n_events - m) / sd, 4) END AS z,
+                   COALESCE(CASE WHEN hist >= 3 AND sd > 0
+                                 THEN abs((n_events - m) / sd) > 3.0 END,
+                            FALSE) AS is_anomaly
+            FROM s ORDER BY key, day
+        """,
+        # inverted index: distinct (token, doc) pairs, exact df, first-20
+        # ascending posting list comma-joined
+        "inverted_index": """
+            WITH pairs AS (
+                SELECT DISTINCT t AS token, doc_id
+                FROM (SELECT doc_id, unnest({toks_lower}) AS t
+                      FROM documents)
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(list_sort(list(doc_id))[1:20], ',')
+                       AS postings
+            FROM pairs GROUP BY token ORDER BY token
+        """.format(toks_lower=toks_lower),
+        # domain blocklist: identical host synthesis; blocked iff any
+        # dot-suffix of the (lowercased) host is a blocklisted domain
+        "domain_blocklist": """
+            WITH hosts AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 5 AS INT)
+                         WHEN 0 THEN 'www.spam' || CAST(doc_id AS VARCHAR)
+                                     || '.bad.com'
+                         WHEN 1 THEN 'ads.tracker.net'
+                         WHEN 2 THEN 'sub' || CAST(doc_id AS VARCHAR)
+                                     || '.ok.org'
+                         WHEN 3 THEN 'tracker.net'
+                         ELSE 'deep.ads.tracker.net'
+                       END AS host
+                FROM documents
+            )
+            SELECT doc_id, host FROM hosts
+            WHERE NOT list_has_any(
+                list_transform(
+                    generate_series(1, len(string_split(lower(host), '.'))),
+                    i -> array_to_string(
+                        list_slice(string_split(lower(host), '.'), i,
+                                   len(string_split(lower(host), '.'))),
+                        '.')),
+                ['bad.com', 'ads.tracker.net'])
+            ORDER BY doc_id
+        """,
         # corpus-level line dedup: same 2-token chunking as
         # repetition_metrics, full df + reassembly recompute — the
         # compared value is the exact surviving text bytes

@@ -73,3 +73,20 @@ def canonical_url(url: Column) -> Column:
         ),
     )
     return F.when(scheme != "", rebuilt).otherwise(url)
+
+
+def domain_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname, longest first: ``a.b.c`` ->
+    ``["a.b.c", "b.c", "c"]`` — the candidate set for registrable-
+    domain blocklist matching ("block ``bad.com`` and every subdomain").
+
+    Pure array HOFs (split / sequence / slice / array_join): stays in
+    whole-stage codegen, and the suffix count is the label count (a
+    hostname has <=127), so the explode fan-out is small and bounded.
+    """
+    parts = F.split(F.lower(host), r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )

@@ -878,9 +878,10 @@ def select_by_token_budget(
     Scale shape (10^12 docs): a global ordered cumsum is the naive
     formulation and is not runnable at scale (single-partition window
     over facts).  Instead: (1) bin scores at ``bin_ndp`` decimals and
-    aggregate per-bin token sums — a <=10^bin_ndp-row table; (2) an
-    ordered cumsum over THAT table (the only unpartitioned window, runs
-    over bins, never facts) classifies each bin keep-all / drop-all /
+    aggregate per-bin token sums — a <=10^bin_ndp-row table; (2) the
+    cumsum over THAT table is a broadcast non-equi self-join (sum of
+    strictly-better bins' tokens — no window at all, so no single-task
+    node anywhere) classifying each bin keep-all / drop-all /
     edge, where at most ONE bin straddles the budget; (3) facts join
     the broadcast bin table — keep-all and drop-all rows never see a
     window; only the single edge bin's docs (corpus_fraction ~
@@ -903,14 +904,18 @@ def select_by_token_budget(
     hist = binned.groupBy("_bin").agg(
         F.sum(F.col(token_col)).cast("long").alias("_btok")
     )
-    # bins-table-only window: <= 10^bin_ndp rows by construction
-    wb = Window.orderBy(F.desc("_bin")).rowsBetween(
-        Window.unboundedPreceding, -1
+    # bins-table cumsum WITHOUT a window: "_before" = total tokens in
+    # strictly-better bins, via a broadcast non-equi self-join of the
+    # <=10^bin_ndp-row histogram (B^2/2 tiny pairs, fully partition-
+    # parallel — an unpartitioned WindowExec here would be the one
+    # single-task node in the whole query surface)
+    hi = hist.select(
+        F.col("_bin").alias("_bin_hi"), F.col("_btok").alias("_btok_hi")
     )
-    hist = hist.select(
-        "_bin",
-        "_btok",
-        F.coalesce(F.sum("_btok").over(wb), F.lit(0)).alias("_before"),
+    hist = (
+        hist.join(F.broadcast(hi), F.col("_bin_hi") > F.col("_bin"), "left")
+        .groupBy("_bin", "_btok")
+        .agg(F.coalesce(F.sum("_btok_hi"), F.lit(0)).alias("_before"))
     ).select(
         "_bin",
         "_before",
@@ -1113,4 +1118,113 @@ def gumbel_topk(
         scored.withColumn("gumbel_key", key)
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (token -> capped posting list)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Token -> (document frequency, capped posting list) — the
+    search-index build a corpus tool runs after tokenization (the
+    retrieval twin of :func:`tfidf_top_terms`, which answers the
+    per-document direction).
+
+    Returns ``(token, df, postings)`` where ``df`` is the EXACT
+    distinct-document count and ``postings`` is the first
+    ``max_postings`` doc ids ascending, comma-joined (a string so the
+    cross-engine value hash is byte-stable; real sinks would keep the
+    array).
+
+    Scale shape: stopword-class tokens post to millions of documents,
+    so a bare ``collect_list`` per token is a hot-key OOM.  Instead:
+
+    1. distinct (token, id) pairs — map-side combine on the exchange;
+    2. ``row_number() over (partition by token order by id)`` filtered
+       to ``<= max_postings``: Spark rewrites this rank-filter into a
+       ``WindowGroupLimit`` physical node that drops beyond-cap rows
+       PER SHUFFLE PARTITION before the window sort, so the hottest
+       token contributes at most ``max_postings`` rows per map
+       partition to the final exchange — never its full posting list;
+    3. ``df`` aggregated from the SAME distinct-pair exchange (one
+       shuffle on token serves both), joined on token.
+    """
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    from .dedup import word_tokens
+
+    pairs = docs.select(
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+        F.col(id_col).alias("_id"),
+    ).distinct()
+    w = Window.partitionBy("token").orderBy("_id")
+    capped = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_postings)
+        .groupBy("token")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("_id")), lambda x: x.cast("string"))
+            ).alias("postings")
+        )
+    )
+    df_counts = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return df_counts.join(capped, "token").select("token", "df", "postings")
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filtering (crawl hygiene)
+# ---------------------------------------------------------------------------
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    *,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents whose host IS a blocklisted domain or any
+    subdomain of one — the URL-level deny-list pass every crawl
+    pipeline runs before content filters (cheaper than reading text).
+
+    Matching is on dot-suffixes: ``deep.ads.tracker.net`` is blocked
+    by a ``ads.tracker.net`` entry but NOT by ``tracker.net``'s
+    absence — only listed registrable domains and their subdomains
+    match, never bare public suffixes unless explicitly listed.
+
+    Scale shape: the suffix explode runs over a NARROW (id, host)
+    projection — the corpus text never fans out — and the blocklist
+    probe is a broadcast equi-join (deny lists are 10^4-10^6 rows).
+    The blocked-id set that comes back is a tiny distinct table, so
+    AQE plans the final anti-join as a broadcast too; no full-width
+    shuffle of the corpus at any point.
+    """
+    from ..functions.url import domain_suffixes
+
+    b = blocklist.select(
+        F.lower(F.col(domain_col)).alias("_blocked_dom")
+    ).distinct()
+    cand = docs.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(domain_suffixes(F.col(host_col))).alias("_suf"),
+    )
+    hit = (
+        cand.join(F.broadcast(b), cand["_suf"] == b["_blocked_dom"])
+        .select("_bid")
+        .distinct()
+    )
+    return docs.join(
+        hit, docs[id_col] == hit["_bid"], "left_anti"
     )

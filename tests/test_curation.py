@@ -584,10 +584,11 @@ def test_select_budget_edge_bin_exact_walk(spark):
 
 
 def test_select_budget_no_fact_sized_window(spark):
-    """The only windows in the plan run over the bin histogram and the
-    single edge bin — never a global unpartitioned window over facts.
-    Check: the plan's unpartitioned Window consumes the bin aggregate
-    (its child contains the _btok sum), not the input rows."""
+    """The ONLY window in the plan is the edge-bin walk, PARTITIONED
+    by _bin — the histogram cumsum is a broadcast non-equi self-join,
+    so no unpartitioned (single-task) Window exists anywhere.  A naive
+    global selection window would order by (score, doc_id) with no
+    _bin partition."""
     from dandi_s3_log_parser_spark.operators.curation import (
         select_by_token_budget,
     )
@@ -596,20 +597,18 @@ def test_select_budget_no_fact_sized_window(spark):
         [(i, float(i % 7) / 10, 10) for i in range(100)],
         "doc_id long, score double, n_tokens long",
     )
-    plan = (
-        select_by_token_budget(df, 300)
-        ._jdf.queryExecution().optimizedPlan().toString()
-    )
-    # every window in the plan involves _bin: either the cumsum over
-    # the bin HISTOGRAM (ordered by _bin desc, input is the _btok
-    # aggregate) or the edge walk PARTITIONED by _bin.  A naive global
-    # selection window would order by (score, doc_id) with no _bin.
+    qe = select_by_token_budget(df, 300)._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
     specs = [
         seg.split(")")[0]
         for seg in plan.split("windowspecdefinition(")[1:]
     ]
-    assert len(specs) == 3  # 2 histogram cumsums (one per union arm) + edge
-    assert all("_bin" in s for s in specs)
+    assert len(specs) == 1  # edge walk only
+    assert specs[0].startswith("_bin")  # partitioned by the bin key
+    # histogram cumsum became a broadcast range join
+    assert "BroadcastNestedLoopJoin" in (
+        qe.executedPlan().toString()
+    )
 
 
 def test_temperature_weights_math(spark):
@@ -753,3 +752,100 @@ def test_gumbel_topk_plans_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_inverted_index_postings_and_df(spark):
+    """Hand-built corpus: exact df counts duplicates once; postings
+    ascend and cap at max_postings while df stays exact."""
+    from dandi_s3_log_parser_spark.operators.curation import inverted_index
+
+    docs = spark.createDataFrame(
+        [(3, "b a"), (1, "a a b"), (2, "a c")],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: r for r in inverted_index(docs).collect()}
+    assert got["a"]["df"] == 3 and got["a"]["postings"] == "1,2,3"
+    assert got["b"]["df"] == 2 and got["b"]["postings"] == "1,3"
+    assert got["c"]["df"] == 1 and got["c"]["postings"] == "2"
+    capped = {
+        r["token"]: r for r in inverted_index(docs, max_postings=2).collect()
+    }
+    assert capped["a"]["df"] == 3  # df exact even when postings capped
+    assert capped["a"]["postings"] == "1,2"
+    with pytest.raises(ValueError):
+        inverted_index(docs, max_postings=0)
+
+
+def test_inverted_index_plans_window_group_limit(spark):
+    """The per-token cap must plan as WindowGroupLimit (partial,
+    map-side limiting before the window sort) so a stopword's full
+    posting list never reaches one task."""
+    from dandi_s3_log_parser_spark.operators.curation import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "the quick") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        inverted_index(docs, max_postings=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_filter_blocked_domains_suffix_semantics(spark):
+    """Exact and subdomain matches drop; a listed domain's PARENT
+    suffix does not block; blocklist case-insensitive."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "bad.com"),
+            (2, "Deep.Sub.BAD.com"),
+            (3, "notbad.com"),
+            (4, "tracker.net"),          # parent of a listed domain
+            (5, "x.ads.tracker.net"),
+            (6, "good.io"),
+        ],
+        "doc_id long, host string",
+    )
+    block = spark.createDataFrame(
+        [("BAD.COM",), ("ads.tracker.net",)], "domain string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in filter_blocked_domains(docs, block).collect()
+    )
+    assert kept == [3, 4, 6]
+
+
+def test_filter_blocked_domains_probe_is_broadcast_narrow(spark):
+    """The blocklist probe must be a broadcast join, and the explode
+    must fan out only (id, host) — a wide payload column stays put."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a.bad.com", "PAYLOAD" * 100)],
+        "doc_id long, host string, text string",
+    )
+    block = spark.createDataFrame([("bad.com",)], "domain string")
+    out = filter_blocked_domains(docs, block)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the generate (explode) node projects only id + host, never text
+    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen and all("text" not in ln for ln in gen)
+    assert out.count() == 0
+
+
+def test_domain_suffixes_values(spark):
+    from dandi_s3_log_parser_spark.functions.url import domain_suffixes
+
+    row = (
+        spark.createDataFrame([("A.b.C",)], "h string")
+        .select(domain_suffixes(F.col("h")).alias("s"))
+        .first()
+    )
+    assert row["s"] == ["a.b.c", "b.c", "c"]
