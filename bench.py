@@ -107,7 +107,11 @@ def bench_pipeline(spark, n_pages: int, trials: int):
         )
         wall = time.perf_counter() - t0
         cpu1 = _executor_cpu_s(spark)
-        cpu = round(cpu1 - cpu0, 3) if cpu0 >= 0 and cpu1 >= 0 else -1.0
+        cpu = (
+            round(cpu1 - cpu0, 3)
+            if cpu0 >= 0 and cpu1 >= 0 and cpu1 >= cpu0
+            else -1.0
+        )
         return round(wall, 3), cpu
 
     cold_sec, _ = one_pass("cold")
@@ -167,7 +171,14 @@ def main() -> None:
 
     spark = get_spark(
         "bench", cpus=cpus, shuffle_partitions=cpus,
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the CPU accounting sums executorCpuTime over COMPLETED
+            # stages; at the default retainedStages=1000 the UI evicts
+            # old stages mid-benchmark and the cumulative sum shrinks,
+            # yielding negative per-trial deltas
+            "spark.ui.retainedStages": "100000",
+        },
     )
 
     queries: dict[str, float] = {}
@@ -195,7 +206,13 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             ts.append(round(time.perf_counter() - t0, 3))
             cpu1 = _executor_cpu_s(spark)
-            cs.append(round(cpu1 - cpu0, 3) if cpu0 >= 0 and cpu1 >= 0 else -1.0)
+            # a shrinking cumulative sum (stage eviction despite the
+            # raised retention) is unusable, not zero-cost: sentinel it
+            cs.append(
+                round(cpu1 - cpu0, 3)
+                if cpu0 >= 0 and cpu1 >= 0 and cpu1 >= cpu0
+                else -1.0
+            )
         queries[name] = min(ts)
         trials[name] = ts
         cpu_s[name] = cs

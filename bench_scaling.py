@@ -50,7 +50,12 @@ def run_worker(
     # shared box (external load inflates wall, not our executors' CPU)
     spark = get_spark(
         f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus,
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # completed-stage eviction at the default retainedStages=1000
+            # shrinks the cumulative CPU sum mid-run -> negative deltas
+            "spark.ui.retainedStages": "100000",
+        },
     )
     pages, dims = _ensure_bench_pages(spark, n_pages)
 
@@ -102,8 +107,10 @@ def run_worker(
         one_pass(wh)
         secs.append(round(time.perf_counter() - t0, 3))
         cpu1, run1 = executor_totals()
-        cpu_secs.append(round(cpu1 - cpu0, 3))
-        run_secs.append(round(run1 - run0, 3))
+        # guard against stage eviction (see retainedStages above):
+        # a shrunken cumulative sum is unusable, not negative cost
+        cpu_secs.append(round(cpu1 - cpu0, 3) if cpu1 >= cpu0 else -1.0)
+        run_secs.append(round(run1 - run0, 3) if run1 >= run0 else -1.0)
     shutil.rmtree(wh_warm, ignore_errors=True)
     shutil.rmtree(wh, ignore_errors=True)
     best = min(secs)
