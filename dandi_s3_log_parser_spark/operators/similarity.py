@@ -448,23 +448,34 @@ def kmeans_assign(
     }
 
     def assign(cents: dict[int, list[float]]) -> DataFrame:
-        v = F.col(vec_col)
+        # ||v||^2 is cluster-independent: fold it ONCE as a column
+        # instead of k inlined copies, and ||c||^2 is a pure constant:
+        # sum it on the driver (Python's left-to-right double sum is
+        # bit-identical to the engines' sequential fold).  Together
+        # this shrinks the generated code ~3x — with k unrolled
+        # distance expressions over dim-length literal arrays, codegen
+        # size is the fixed cost every task (and the JIT) pays.
+        base = emb.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("_vv"),
+        )
         dists = [
             F.round(
-                dot(v, v)
-                - 2.0 * dot(v, F.array(*[F.lit(x) for x in cents[i]]))
-                + dot(
-                    F.array(*[F.lit(x) for x in cents[i]]),
-                    F.array(*[F.lit(x) for x in cents[i]]),
-                ),
+                F.col("_vv")
+                - 2.0
+                * dot(
+                    F.col("_v"), F.array(*[F.lit(x) for x in cents[i]])
+                )
+                + F.lit(sum(x * x for x in cents[i])),
                 ndp,
             )
             for i in sorted(cents)
         ]
         arr = F.array(*dists)
-        return emb.select(
+        return base.select(
             F.col(id_col),
-            v.alias("_v"),
+            F.col("_v"),
             (F.array_position(arr, F.array_min(arr)) - 1)
             .cast("long")
             .alias("cluster"),
@@ -522,9 +533,21 @@ def semdedup_pairs(
     a near-dup pair split across cells is missed, exactly as in the
     paper.
     """
-    asg = kmeans_assign(
-        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, ndp=ndp
-    ).select(id_col, "cluster")
+    # materialize the (id, cluster) assignment before the self-join:
+    # the unrolled Lloyd's subtree is the expensive part of the plan,
+    # and the a/b self-join (plus the CC rounds in semdedup_keep)
+    # would otherwise re-evaluate it once per reference.  The
+    # checkpointed table is two narrow columns — at 10^9 vectors a few
+    # GB spread over executors; the cluster-scale analog is writing
+    # assignments to a scratch table, which the paper's own pipeline
+    # does anyway.
+    asg = (
+        kmeans_assign(
+            emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, ndp=ndp
+        )
+        .select(id_col, "cluster")
+        .localCheckpoint()
+    )
     j = asg.join(emb.select(id_col, vec_col), id_col)
     a, b = j.alias("a"), j.alias("b")
     cos = F.round(
