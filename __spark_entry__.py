@@ -1219,6 +1219,63 @@ def q_inverted_index(spark, sf):
     ).orderBy("token")
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental crawl dedup: odd-id docs are the NEW snapshot,
+    even-id docs the EXISTING corpus; each new doc gets its lowest
+    near-dup corpus id (3-gram Jaccard >= 0.5 via cross-side
+    MinHash-LSH + exact verify).  The oracle recomputes ALL exact
+    cross-side pairs; as with minhash_lsh_dedup, that equality needs
+    LSH recall 1 on the fixture, so it is asserted IN-QUERY at the
+    oracle sf and raises loudly if a fixture change breaks it."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        with_shingles,
+    )
+
+    d = _load(spark, sf, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    out = incremental_minhash_dedup(new, corpus, threshold=0.5)
+    if _is_oracle_sf(sf):
+        sh_n = with_shingles(new).select(
+            F.col("doc_id").alias("nid"), F.col("sh").alias("sh_n")
+        ).filter(F.size("sh_n") > 0)
+        sh_o = with_shingles(corpus).select(
+            F.col("doc_id").alias("oid"), F.col("sh").alias("sh_o")
+        ).filter(F.size("sh_o") > 0)
+        exact = (
+            sh_n.crossJoin(sh_o)
+            .withColumn(
+                "jac",
+                F.round(
+                    F.size(F.array_intersect("sh_n", "sh_o"))
+                    / F.size(F.array_union("sh_n", "sh_o")),
+                    4,
+                ),
+            )
+            .filter(F.col("jac") >= 0.5)
+            .select("nid", "oid")
+        )
+        # pair-precise: LSH missing the MINIMUM-id pair while catching
+        # another would flag the doc but report the wrong dup_of, so
+        # compare the exact argmin itself, not mere dup membership
+        exact_best = exact.groupBy("nid").agg(F.min("oid").alias("oid"))
+        n_exact = exact_best.count()
+        missing = exact_best.join(
+            out.select(F.col("doc_id").alias("nid"), F.col("dup_of").alias("oid")),
+            ["nid", "oid"],
+            "left_anti",
+        ).count()
+        if missing:
+            raise ValueError(
+                f"incremental_dedup: LSH disagreed with the exact argmin "
+                f"on {missing}/{n_exact} new docs on the oracle fixture — "
+                "the exact-recompute oracle is only valid at recall 1; "
+                "add bands/hashes or weaken the oracle"
+            )
+    return out.orderBy("doc_id")
+
+
 def q_domain_blocklist(spark, sf):
     """Domain deny-list filtering on suffix match: hosts synthesized
     per doc_id%5 on BOTH engines; blocklist = {bad.com,
@@ -1544,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "inverted_index": q_inverted_index,
         "domain_blocklist": q_domain_blocklist,
+        "incremental_dedup": q_incremental_dedup,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -2872,6 +2930,42 @@ def oracle_sql() -> dict[str, str]:
                        AS postings
             FROM pairs GROUP BY token ORDER BY token
         """.format(toks_lower=toks_lower),
+        # incremental crawl dedup: exact recompute of ALL cross-side
+        # 3-gram Jaccard pairs (odd = new, even = corpus); the in-query
+        # recall-1 guard makes LSH output == exact output on the fixture
+        "incremental_dedup": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len({toks_lower}) - 1, 1)),
+                           i -> {toks_lower}[i] || ' ' || {toks_lower}[i+1]
+                                || ' ' || {toks_lower}[i+2]
+                       )) AS grams
+                FROM documents WHERE len({toks_lower}) >= 3
+            ), pairs AS (
+                SELECT n.doc_id AS nid, o.doc_id AS oid,
+                       round(CAST(len(list_intersect(n.grams, o.grams))
+                                  AS DOUBLE)
+                             / len(list_distinct(
+                                   list_concat(n.grams, o.grams))),
+                             4) AS jac
+                FROM sh n JOIN sh o
+                  ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+            ), best AS (
+                SELECT nid, min(oid) AS dup_of
+                FROM pairs WHERE jac >= 0.5 GROUP BY nid
+            )
+            SELECT d.doc_id,
+                   best.dup_of,
+                   p.jac AS jaccard,
+                   best.dup_of IS NOT NULL AS is_dup
+            FROM documents d
+            LEFT JOIN best ON best.nid = d.doc_id
+            LEFT JOIN pairs p
+              ON p.nid = d.doc_id AND p.oid = best.dup_of
+            WHERE d.doc_id % 2 = 1
+            ORDER BY d.doc_id
+        """,
         # domain blocklist: identical host synthesis; blocked iff any
         # dot-suffix of the (lowercased) host is a blocklisted domain
         "domain_blocklist": """

@@ -139,6 +139,40 @@ def minhash_signature(sh_col: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def _band_buckets(
+    shingled: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows from an (id, sh) shingle table: minhash
+    signature, then one xxhash64 bucket per contiguous signature band.
+    Shared by the self-dedup and the incremental (cross-snapshot)
+    variants so both hash into the SAME bucket space."""
+    rows_per_band = num_hashes // bands
+    docs = shingled.select(
+        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    return docs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     *,
@@ -161,7 +195,6 @@ def minhash_lsh_candidates(
     the pre-filtered small buckets + native pair expansion — bounded at
     max_bucket_size^2/2 pairs per bucket, no skewed self-join.
     """
-    rows_per_band = num_hashes // bands
     if shingled is None:
         shingled = with_shingles(df, text_col, shingle_n).select(
             F.col(id_col).alias("id"), "sh"
@@ -170,25 +203,7 @@ def minhash_lsh_candidates(
     # filter on the signature itself would be pushed through the
     # projection by Catalyst and re-evaluate the whole minhash subtree
     # (measured 2x on this stage)
-    docs = shingled.select(
-        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
-    )
-    banded = docs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _band_buckets(shingled, num_hashes, bands)
 
     # bucket-size guard via a window count over (band, bucket): a
     # count-then-join formulation would reference `banded` twice and
@@ -287,6 +302,107 @@ def minhash_dedup(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 64,
+    ndp: int = 4,
+) -> DataFrame:
+    """Dedup a NEW crawl snapshot against an EXISTING corpus: for each
+    new document, find near-duplicates (shingle Jaccard >= threshold)
+    already in the corpus via banded MinHash-LSH — the incremental
+    variant of :func:`minhash_dedup` that every ongoing-crawl pipeline
+    runs per snapshot instead of re-deduping the whole corpus
+    quadratically (the content-level complement of
+    :func:`snapshot_delta`, which only catches byte-level refetches).
+
+    Returns every new document as ``(id, dup_of, jaccard, is_dup)``:
+    ``dup_of`` = the LOWEST corpus id among verified matches (NULL if
+    none), ``jaccard`` = that pair's verified similarity.
+
+    Scale shape (10^9-doc corpus, 10^7-doc snapshot):
+
+    - both sides band through :func:`_band_buckets`, so they hash into
+      the SAME bucket space; in a real deployment the corpus side's
+      (id, band, bucket) table is computed once and PERSISTED — only
+      the new side's signatures are fresh work per snapshot;
+    - the probe is a (band, bucket) equi-join — new x corpus, never a
+      corpus self-join; degenerate corpus buckets (boilerplate) are
+      capped at ``max_bucket_size`` BEFORE the join, same guard and
+      rationale as :func:`minhash_lsh_candidates`;
+    - Jaccard verification joins the candidate pairs (small side) back
+      to the two shingle tables on their ids.
+    """
+    sh_new = (
+        with_shingles(new_docs, text_col, shingle_n)
+        .select(F.col(id_col).alias("id"), "sh")
+        .filter(F.size("sh") > 0)
+    )
+    sh_old = (
+        with_shingles(corpus, text_col, shingle_n)
+        .select(F.col(id_col).alias("id"), "sh")
+        .filter(F.size("sh") > 0)
+    )
+    b_new = _band_buckets(sh_new, num_hashes, bands)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    b_old = (
+        _band_buckets(sh_old, num_hashes, bands)
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+    cands = (
+        b_new.withColumnRenamed("id", "new_id")
+        .join(
+            b_old.withColumnRenamed("id", "old_id"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            sh_new.withColumnsRenamed({"id": "new_id", "sh": "sh_n"}),
+            "new_id",
+        )
+        .join(
+            sh_old.withColumnsRenamed({"id": "old_id", "sh": "sh_o"}),
+            "old_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_n", "sh_o"))
+                / F.size(F.array_union("sh_n", "sh_o")),
+                ndp,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = verified.groupBy("new_id").agg(
+        F.min(F.struct("old_id", "jaccard")).alias("_b")
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(best, new_docs[id_col] == best["new_id"], "left")
+        .select(
+            id_col,
+            F.col("_b.old_id").alias("dup_of"),
+            F.col("_b.jaccard").alias("jaccard"),
+            F.col("_b.old_id").isNotNull().alias("is_dup"),
+        )
+    )
 
 
 def dedup_clusters(

@@ -473,3 +473,73 @@ def test_semdedup_keep_transitive_and_singletons(spark):
     assert not got[1]["keep"] and got[1]["rep_id"] == 0
     assert not got[2]["keep"] and got[2]["rep_id"] == 0
     assert got[3]["keep"] and got[3]["rep_id"] == 3
+
+
+def test_incremental_dedup_basics(spark):
+    """Near-dup of an existing corpus doc is flagged with that doc's id;
+    novel and too-short docs pass with NULL dup_of."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different corpus text about spark and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "an entirely novel document with fresh content nobody has seen"),
+            (5, "tiny"),  # <3 tokens -> no shingles -> never a dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(new, corpus, threshold=0.5).collect()
+    }
+    assert got[1]["is_dup"] and got[1]["dup_of"] == 0
+    assert got[1]["jaccard"] >= 0.9
+    assert not got[3]["is_dup"] and got[3]["dup_of"] is None
+    assert not got[5]["is_dup"]
+
+
+def test_incremental_dedup_picks_lowest_corpus_id(spark):
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(10, text), (4, text)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = incremental_minhash_dedup(new, corpus, threshold=0.9).first()
+    assert r["dup_of"] == 4 and r["jaccard"] == 1.0
+
+
+def test_incremental_dedup_caps_degenerate_corpus_buckets(spark):
+    """A boilerplate bucket larger than max_bucket_size is dropped
+    BEFORE the probe join (the documented at-scale guard), so the new
+    doc is not matched against it."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    text = "same boilerplate text repeated on every single page here"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(99, text)], "doc_id long, text string")
+    r = incremental_minhash_dedup(
+        new, corpus, threshold=0.5, max_bucket_size=4
+    ).first()
+    assert not r["is_dup"]
+    # with a roomy cap the same probe matches
+    r2 = incremental_minhash_dedup(
+        new, corpus, threshold=0.5, max_bucket_size=64
+    ).first()
+    assert r2["is_dup"] and r2["dup_of"] == 0
