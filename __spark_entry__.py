@@ -1219,6 +1219,21 @@ def q_inverted_index(spark, sf):
     ).orderBy("token")
 
 
+def q_pagerank(spark, sf):
+    """4-iteration PageRank (d=0.85, dangling redistribution) over a
+    host graph synthesized per-doc on BOTH engines: src = doc_id % 47,
+    dst = (doc_id*7 + 3) % 50 — hosts 47-49 never appear as src, so
+    the dangling-mass path is exercised."""
+    from dandi_s3_log_parser_spark.operators.graph import pagerank
+
+    d = _load(spark, sf, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 47).cast("long").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).cast("long").alias("dst"),
+    )
+    return pagerank(edges, iters=4).orderBy("node")
+
+
 def q_incremental_dedup(spark, sf):
     """Incremental crawl dedup: odd-id docs are the NEW snapshot,
     even-id docs the EXISTING corpus; each new doc gets its lowest
@@ -1602,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "domain_blocklist": q_domain_blocklist,
         "incremental_dedup": q_incremental_dedup,
+        "pagerank": q_pagerank,
         "curation_funnel": q_curation_funnel,
         "sessionize": q_sessionize,
     }
@@ -1620,6 +1636,61 @@ _EN = _sql_list(EN_STOPWORDS)
 _DE = _sql_list(DE_STOPWORDS)
 
 _TOKENS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+
+
+def _pagerank_oracle_sql(iters: int = 4, ndp: int = 8) -> str:
+    """Unrolled PageRank iterations mirroring operators/graph.pagerank
+    exactly: same edge synthesis (self-loops dropped, distinct), same
+    per-edge share pre-rounded to 12 decimals then summed as exact
+    DECIMAL(28,12), same dangling-mass decimal sum, same
+    ``base + d*(s + dm/n)`` double expression order, same per-iteration
+    round to ``ndp``."""
+    ctes = [
+        """raw AS (
+            SELECT DISTINCT CAST(doc_id % 47 AS BIGINT) AS src,
+                   CAST((doc_id * 7 + 3) % 50 AS BIGINT) AS dst
+            FROM documents
+            WHERE doc_id % 47 <> (doc_id * 7 + 3) % 50
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM raw
+                UNION ALL SELECT dst FROM raw)
+        ), cnt AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), outdeg AS (
+            SELECT src, count(*) AS deg FROM raw GROUP BY src
+        ), r0 AS (
+            SELECT node, round(1.0 / n, NDP) AS rank
+            FROM nodes CROSS JOIN cnt
+        )""".replace("NDP", str(ndp))
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(f"""d{k} AS (
+            SELECT COALESCE(CAST(sum(CAST(r.rank AS DECIMAL(20,8)))
+                                 AS DOUBLE), 0.0) AS dm
+            FROM {p} r LEFT JOIN outdeg o ON o.src = r.node
+            WHERE o.src IS NULL
+        ), s{k} AS (
+            SELECT e.dst AS node,
+                   sum(CAST(round(r.rank / o.deg, 12)
+                            AS DECIMAL(28,12))) AS s
+            FROM raw e JOIN {p} r ON e.src = r.node
+                       JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ), r{k} AS (
+            SELECT n.node,
+                   round((1 - 0.85) / cnt.n
+                         + 0.85 * (COALESCE(CAST(s.s AS DOUBLE), 0.0)
+                                   + d.dm / cnt.n), {ndp}) AS rank
+            FROM nodes n CROSS JOIN cnt CROSS JOIN d{k} d
+            LEFT JOIN s{k} s ON s.node = n.node
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM r{iters} ORDER BY node"
+    )
 
 
 def _kmeans_oracle_sql(
@@ -2930,6 +3001,8 @@ def oracle_sql() -> dict[str, str]:
                        AS postings
             FROM pairs GROUP BY token ORDER BY token
         """.format(toks_lower=toks_lower),
+        # PageRank: full unrolled recompute (see _pagerank_oracle_sql)
+        "pagerank": _pagerank_oracle_sql(4),
         # incremental crawl dedup: exact recompute of ALL cross-side
         # 3-gram Jaccard pairs (odd = new, even = corpus); the in-query
         # recall-1 guard makes LSH output == exact output on the fixture
