@@ -156,6 +156,12 @@ HEADLINE_QUERIES = (
     "unigram_logprob",
     "png_decode",
     "asof_join",
+    "dsir_importance",
+    "rolling_anomaly",
+    "inverted_index",
+    "domain_blocklist",
+    "incremental_dedup",
+    "pagerank",
 )
 
 

@@ -504,9 +504,12 @@ def kmeans_assign(
             i: new.get(i, centroids[i]) for i in centroids
         }  # empty cluster keeps previous centroid
 
+    # set-semantics output, deliberately UNSORTED: a terminal global
+    # sort would run the plan twice (range-partitioner sampling pass +
+    # the sort itself); callers that need order sort the tiny result
     return assign(centroids).select(
         id_col, "cluster", F.col("dist").alias("dist")
-    ).orderBy(id_col)
+    )
 
 
 def semdedup_pairs(
@@ -565,7 +568,8 @@ def semdedup_pairs(
             cos.alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        .orderBy("id_a", "id_b")
+        # unsorted on purpose: the terminal sort's range-sampling pass
+        # would re-execute the self-join (measured ~2x end-to-end)
     )
 
 
@@ -614,5 +618,4 @@ def semdedup_keep(
                 F.coalesce("rep_id", F.col(id_col)) == F.col(id_col)
             ).alias("keep"),
         )
-        .orderBy(id_col)
     )
