@@ -199,3 +199,68 @@ def test_per_key_cap_equals_pandas_topk_property(spark, rows, k):
         .tolist()
     )
     assert got == want
+
+
+graph_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@pytest.mark.slow
+@PROP
+@given(edges=graph_strategy)
+def test_pagerank_conserves_mass_property(spark, edges):
+    """Total rank stays 1 (to rounding) on ANY digraph — including ones
+    that are all self-loops after dedup (no nodes -> empty result) and
+    ones with dangling sinks."""
+    from dandi_s3_log_parser_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    if df.filter("src <> dst").count() == 0:
+        return  # graph is empty after self-loop removal
+    rows = pagerank(df, iters=3).collect()
+    total = sum(r["rank"] for r in rows)
+    # ndp=8 rounding error accumulates at most n_nodes * 5e-9
+    assert total == pytest.approx(1.0, abs=len(rows) * 5e-9 + 1e-9)
+    assert all(r["rank"] > 0 for r in rows)
+
+
+docs_strategy = st.lists(
+    st.integers(min_value=0, max_value=30),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@pytest.mark.slow
+@PROP
+@given(ids=docs_strategy)
+def test_incremental_dedup_identical_doc_always_flagged_property(
+    spark, ids
+):
+    """A new doc byte-identical to a corpus doc is flagged with
+    jaccard 1.0 whatever the id set (identical shingle sets collide in
+    every LSH band, so recall is 1 by construction)."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(i * 2, text) for i in ids], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i * 2 + 1, text) for i in ids], "doc_id long, text string"
+    )
+    rows = incremental_minhash_dedup(new, corpus, threshold=0.99).collect()
+    assert len(rows) == len(ids)
+    lowest = min(i * 2 for i in ids)
+    for r in rows:
+        assert r["is_dup"] and r["jaccard"] == 1.0
+        assert r["dup_of"] == lowest  # min corpus id wins for every new doc
