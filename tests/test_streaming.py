@@ -289,3 +289,103 @@ def test_stream_url_frontier_dedup_on_canonical_key(spark, tmp_path):
         "https://site.org/page?a=2&b=1",
         "https://site.org/third",
     ]
+
+
+def test_stream_anomaly_cross_batch_baseline(spark, tmp_path):
+    """Batch 1 builds the baseline (all rows NULL z: scored against an
+    empty state); batch 2 rows are scored against batch 1's exact
+    stats, so the closed-form z comes out and a spike flags."""
+    import math
+
+    from dandi_s3_log_parser_spark.streaming.stream_anomaly import (
+        stream_anomaly,
+    )
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_type string, value double"
+        ).parquet(str(src))
+        q = (
+            stream_anomaly(stream, min_history=3)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    b1 = [("k", 2.0), ("k", 4.0), ("k", 2.0), ("k", 4.0)]
+    spark.createDataFrame(b1, "event_type string, value double").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    # batch 1 stats: n=4, mean=3, var=1 -> batch 2 z = value - 3
+    b2 = [("k", 30.0), ("k", 3.5)]
+    spark.createDataFrame(b2, "event_type string, value double").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+
+    rows = spark.read.parquet(str(out)).collect()
+    got = {r["value"]: r for r in rows}
+    assert len(rows) == 6
+    for r in rows:
+        if r["value"] in (2.0, 4.0):
+            assert r["z"] is None or math.isnan(r["z"])
+            assert r["is_anomaly"] is False
+    assert got[30.0]["z"] == 27.0 and got[30.0]["is_anomaly"] is True
+    assert got[3.5]["z"] == 0.5 and got[3.5]["is_anomaly"] is False
+
+
+def test_stream_anomaly_welford_merge_matches_batch_stats(spark, tmp_path):
+    """After ingesting values across TWO batches, a third batch's z must
+    use the stats of the union — the Welford merge is exact."""
+    from dandi_s3_log_parser_spark.streaming.stream_anomaly import (
+        stream_anomaly,
+    )
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_type string, value double"
+        ).parquet(str(src))
+        q = (
+            stream_anomaly(stream, min_history=3)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    import statistics
+
+    hist = [1.0, 5.0, 3.0, 7.0, 2.0, 6.0]
+    for chunk in (hist[:3], hist[3:]):
+        spark.createDataFrame(
+            [("k", v) for v in chunk], "event_type string, value double"
+        ).write.mode("append").parquet(str(src))
+        drain()
+    spark.createDataFrame(
+        [("k", 10.0)], "event_type string, value double"
+    ).write.mode("append").parquet(str(src))
+    drain()
+
+    mean = statistics.fmean(hist)
+    std = statistics.pstdev(hist)
+    want = round((10.0 - mean) / std, 4)
+    r = [
+        x
+        for x in spark.read.parquet(str(out)).collect()
+        if x["value"] == 10.0
+    ][0]
+    assert r["z"] == want
