@@ -69,6 +69,12 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # no edges survive self-loop removal: empty graph, empty result
+        # (not a divide-by-zero in the 1/N base term)
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), ndp).alias("rank")

@@ -50,3 +50,10 @@ def test_pagerank_deterministic_under_partitioning(spark):
         pagerank(e, iters=-1)
     with pytest.raises(ValueError):
         pagerank(e, damping=1.0)
+
+
+def test_pagerank_empty_after_self_loop_removal(spark):
+    e = spark.createDataFrame([(3, 3), (5, 5)], "src long, dst long")
+    out = pagerank(e, iters=2)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "rank"]

@@ -221,9 +221,10 @@ def test_pagerank_conserves_mass_property(spark, edges):
     from dandi_s3_log_parser_spark.operators.graph import pagerank
 
     df = spark.createDataFrame(edges, "src long, dst long")
-    if df.filter("src <> dst").count() == 0:
-        return  # graph is empty after self-loop removal
     rows = pagerank(df, iters=3).collect()
+    if df.filter("src <> dst").count() == 0:
+        assert rows == []  # empty after self-loop removal, no crash
+        return
     total = sum(r["rank"] for r in rows)
     # ndp=8 rounding error accumulates at most n_nodes * 5e-9
     assert total == pytest.approx(1.0, abs=len(rows) * 5e-9 + 1e-9)
