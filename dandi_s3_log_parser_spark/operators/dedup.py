@@ -342,15 +342,24 @@ def incremental_minhash_dedup(
     - Jaccard verification joins the candidate pairs (small side) back
       to the two shingle tables on their ids.
     """
+    # forced repartition = one exchange per side that BOTH consumers
+    # (banding and Jaccard verify) read via ReuseExchange, instead of
+    # re-running each side's tokenize/shingle subtree twice — the same
+    # single-materialization trick minhash_dedup documents
+    n_part = int(
+        new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     sh_new = (
         with_shingles(new_docs, text_col, shingle_n)
         .select(F.col(id_col).alias("id"), "sh")
         .filter(F.size("sh") > 0)
+        .repartition(n_part, "id")
     )
     sh_old = (
         with_shingles(corpus, text_col, shingle_n)
         .select(F.col(id_col).alias("id"), "sh")
         .filter(F.size("sh") > 0)
+        .repartition(n_part, "id")
     )
     b_new = _band_buckets(sh_new, num_hashes, bands)
     from pyspark.sql import Window
