@@ -1203,6 +1203,8 @@ def filter_blocked_domains(
     by a ``ads.tracker.net`` entry but NOT by ``tracker.net``'s
     absence — only listed registrable domains and their subdomains
     match, never bare public suffixes unless explicitly listed.
+    A NULL host matches nothing and is KEPT (the filter is a deny
+    list; rows it cannot judge pass through).
 
     Scale shape: the suffix explode runs over a NARROW (id, host)
     projection — the corpus text never fans out — and the blocklist
