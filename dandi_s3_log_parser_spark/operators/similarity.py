@@ -57,18 +57,29 @@ def cosine_topk(
     Ties broken by neighbor id for full determinism; similarity rounded
     to 6 dp in the output.
     """
+    # norms once PER ROW on each side: the per-pair cosine is then a
+    # single dot-product fold; the rounded value is bit-identical to
+    # the inline form (same fold on the same vector)
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("c_vec"), F.col("q_vec"))
+            / (F.col("_cn") * F.col("_qn")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -142,20 +153,23 @@ def lsh_bucketed_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("_cn"),
         sig(F.col(vec_col)).alias("bucket"),
     )
     masks = _probe_masks(n_planes, multiprobe)
-    # signature computed ONCE per query row, then fanned out across the
-    # probe masks (queries are small/broadcast by contract)
+    # signature and norm computed ONCE per query row, then fanned out
+    # across the probe masks (queries are small/broadcast by contract)
     qs = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("_qn"),
         sig(F.col(vec_col)).alias("_sig"),
     )
     q = F.broadcast(
         qs.select(
             "query_id",
             "q_vec",
+            "_qn",
             F.explode(
                 F.array(
                     *[
@@ -169,7 +183,11 @@ def lsh_bucketed_topk(
     scored = c.join(q, "bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("c_vec"), F.col("q_vec"))
+            / (F.col("_cn") * F.col("_qn")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -275,19 +293,25 @@ def ivf_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("_cn"),
         F.element_at(corpus_cell(F.col(vec_col)), 1).alias("cell"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("_qn"),
             F.explode(query_cells(F.col(vec_col))).alias("cell"),
         )
     )
     scored = c.join(q, "cell").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("c_vec"), F.col("q_vec")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("c_vec"), F.col("q_vec"))
+            / (F.col("_cn") * F.col("_qn")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -551,10 +575,23 @@ def semdedup_pairs(
         .select(id_col, "cluster")
         .localCheckpoint()
     )
-    j = asg.join(emb.select(id_col, vec_col), id_col)
+    # norm once PER ROW, not per pair: the cosine then needs one
+    # array fold (the dot product) per pair instead of three — the
+    # per-row norm fold is the same expression evaluated on the same
+    # vector, so the rounded cosine is bit-identical to the inline
+    # form (measured ~2x on the pair stage; 64-dim folds are HOF
+    # lambda steps, the dominant per-pair cost)
+    j = asg.join(
+        emb.select(
+            id_col, vec_col, norm(F.col(vec_col)).alias("_nrm")
+        ),
+        id_col,
+    )
     a, b = j.alias("a"), j.alias("b")
     cos = F.round(
-        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), ndp
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._nrm") * F.col("b._nrm")),
+        ndp,
     )
     return (
         a.join(
