@@ -358,6 +358,9 @@ def embedding_lsh_near_dup_pairs(
     c = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        # norm once per row (carried through the bucket structs) so the
+        # per-pair cosine below is a single dot-product fold
+        norm(F.col(vec_col)).alias("nrm"),
         F.explode(
             F.array(
                 *[
@@ -366,13 +369,15 @@ def embedding_lsh_near_dup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("id", "v", "tb.tbl", "tb.bucket")
+    ).select("id", "v", "nrm", "tb.tbl", "tb.bucket")
     w = Window.partitionBy("tbl", "bucket")
     small = c.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
         (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)
     )
     grouped = small.groupBy("tbl", "bucket").agg(
-        F.array_sort(F.collect_list(F.struct("id", "v"))).alias("members")
+        F.array_sort(F.collect_list(F.struct("id", "v", "nrm"))).alias(
+            "members"
+        )
     )
     n = F.size(F.col("members"))
     pair_array = F.flatten(
@@ -383,7 +388,9 @@ def embedding_lsh_near_dup_pairs(
                 lambda y: F.struct(
                     x["id"].alias("id_a"),
                     y["id"].alias("id_b"),
-                    F.round(cosine(x["v"], y["v"]), 6).alias("cosine_sim"),
+                    F.round(
+                        dot(x["v"], y["v"]) / (x["nrm"] * y["nrm"]), 6
+                    ).alias("cosine_sim"),
                 ),
             ),
         )
