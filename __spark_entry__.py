@@ -1219,6 +1219,18 @@ def q_inverted_index(spark, sf):
     ).orderBy("token")
 
 
+def q_event_funnel(spark, sf):
+    """Ordered view -> click -> purchase funnel over the first two days
+    of events (the full month saturates every user through every step;
+    the slice leaves real drop-off to measure)."""
+    from dandi_s3_log_parser_spark.operators.sessionize import event_funnel
+
+    ev = _load(spark, sf, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    return event_funnel(ev, ["view", "click", "purchase"])
+
+
 def q_pagerank(spark, sf):
     """4-iteration PageRank (d=0.85, dangling redistribution) over a
     host graph synthesized per-doc on BOTH engines: src = doc_id % 47,
@@ -1617,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "gumbel_select": q_gumbel_select,
         "rolling_anomaly": q_rolling_anomaly,
+        "event_funnel": q_event_funnel,
         "inverted_index": q_inverted_index,
         "domain_blocklist": q_domain_blocklist,
         "incremental_dedup": q_incremental_dedup,
@@ -3226,5 +3239,47 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts), '%Y-%m-%dT%H:%M:%S.%f')
                        AS session_end
             FROM s2 GROUP BY user_id, session_id
+        """,
+        # first-touch ordered funnel: each step's reach = keys with an
+        # event of that type strictly after their earliest qualifying
+        # previous-step time; mirrors operators/sessionize.event_funnel
+        # (same 2-day slice, same strict > chaining, same round-4
+        # conversion vs the step-1 denominator)
+        "event_funnel": """
+            WITH ev AS (
+                SELECT user_id AS k, ts AS t, event_type AS typ
+                FROM events
+                WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+            ), s1 AS (
+                SELECT k, min(t) AS t FROM ev
+                WHERE typ = 'view' GROUP BY k
+            ), s2 AS (
+                SELECT e.k, min(e.t) AS t
+                FROM ev e JOIN s1 ON e.k = s1.k
+                WHERE e.typ = 'click' AND e.t > s1.t
+                GROUP BY e.k
+            ), s3 AS (
+                SELECT e.k, min(e.t) AS t
+                FROM ev e JOIN s2 ON e.k = s2.k
+                WHERE e.typ = 'purchase' AND e.t > s2.t
+                GROUP BY e.k
+            ), counts AS (
+                SELECT CAST(1 AS INT) AS step_index, 'view' AS step,
+                       CAST((SELECT count(*) FROM s1) AS BIGINT) AS keys
+                UNION ALL
+                SELECT CAST(2 AS INT), 'click',
+                       CAST((SELECT count(*) FROM s2) AS BIGINT)
+                UNION ALL
+                SELECT CAST(3 AS INT), 'purchase',
+                       CAST((SELECT count(*) FROM s3) AS BIGINT)
+            ), base AS (
+                SELECT keys AS first FROM counts WHERE step_index = 1
+            )
+            SELECT step_index, step, keys,
+                   CASE WHEN first > 0
+                        THEN round(CAST(keys AS DOUBLE) / first, 4)
+                   END AS conversion
+            FROM counts CROSS JOIN base
+            ORDER BY step_index
         """,
     }

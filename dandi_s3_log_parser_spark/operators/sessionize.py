@@ -150,3 +150,77 @@ def session_stats(
         ),
     ]
     return s.groupBy(key_col, "session_id").agg(*aggs)
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion over a keyed event stream: how many
+    keys performed step 1, then step 2 STRICTLY AFTER their first
+    step 1, then step 3 strictly after that, ... — the conversion
+    query every product/log-analytics engine ships next to
+    sessionization.
+
+    Semantics: a key converts through step i+1 iff it has an event of
+    that type strictly after its EARLIEST qualifying step-i time (the
+    standard first-touch funnel; repeats before the prior step don't
+    count).  Returns one row per step: ``(step_index, step, keys,
+    conversion)`` with conversion = keys / step-1 keys rounded to 4
+    (NULL when step 1 matched nobody).
+
+    Scale shape: one key-keyed aggregate per step over a
+    filter-pruned scan, chained by key-equi joins — each join's both
+    sides are (key, timestamp) narrow rows already partitioned by
+    key, and each step's table only shrinks.  No windows, no
+    cross-step shuffle wider than the key column.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    reached = None  # (key, t_i) table for the last completed step
+    counts = []
+    for i, s in enumerate(steps):
+        ev = events.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("t"),
+            F.col(type_col).alias("typ"),
+        ).filter(F.col("typ") == s)
+        if reached is None:
+            reached = ev.groupBy("k").agg(F.min("t").alias("t"))
+        else:
+            reached = (
+                ev.join(reached.withColumnRenamed("t", "_prev"), "k")
+                .filter(F.col("t") > F.col("_prev"))
+                .groupBy("k")
+                .agg(F.min("t").alias("t"))
+            )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("keys")).select(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(s).alias("step"),
+                F.col("keys").cast("long"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # the step-1 denominator rides a 1-row broadcast cross join — NOT
+    # an unpartitioned window (the repo-wide plan audit bans those)
+    base = counts[0].select(F.col("keys").alias("_first"))
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "step_index",
+            "step",
+            "keys",
+            F.when(
+                F.col("_first") > 0,
+                F.round(F.col("keys") / F.col("_first"), 4),
+            ).alias("conversion"),
+        )
+        .orderBy("step_index")
+    )

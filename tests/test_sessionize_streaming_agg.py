@@ -174,3 +174,67 @@ def test_sessionize_two_phase_equals_single_window(spark):
     got = {(r[0], r[1]): r[2] for r in a}
     assert got[(2, dt.datetime(2024, 1, 1, 23, 50))] == got[(2, dt.datetime(2024, 1, 2, 0, 10))]
     assert got[(2, dt.datetime(2024, 1, 2, 0, 41))] == got[(2, dt.datetime(2024, 1, 2, 0, 10))] + 1
+
+
+# ---------------------------------------------------------------------------
+# event_funnel — ordered first-touch conversion
+# ---------------------------------------------------------------------------
+
+
+def _fev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_event_funnel_strict_ordering(spark):
+    from dandi_s3_log_parser_spark.operators.sessionize import event_funnel
+
+    rows = [
+        # u1 converts fully in order
+        (1, _ts(9, 0), "view"), (1, _ts(9, 5), "click"),
+        (1, _ts(9, 9), "buy"),
+        # u2 clicked BEFORE its first view -> stops at step 1
+        (2, _ts(8, 0), "click"), (2, _ts(9, 0), "view"),
+        # u3 view -> click, no buy
+        (3, _ts(9, 0), "view"), (3, _ts(9, 30), "click"),
+        # u4 never viewed -> counted nowhere
+        (4, _ts(9, 0), "buy"),
+    ]
+    out = {r["step"]: r for r in
+           event_funnel(_fev(spark, rows), ["view", "click", "buy"])
+           .collect()}
+    assert out["view"]["keys"] == 3
+    assert out["click"]["keys"] == 2
+    assert out["buy"]["keys"] == 1
+    assert out["view"]["conversion"] == 1.0
+    assert out["click"]["conversion"] == pytest.approx(0.6667)
+    assert out["buy"]["conversion"] == pytest.approx(0.3333)
+    assert [r["step_index"] for r in sorted(
+        out.values(), key=lambda r: r["step_index"])] == [1, 2, 3]
+
+
+def test_event_funnel_same_timestamp_not_counted(spark):
+    """Strictly-after semantics: a click at the exact view time does
+    not convert (first-touch funnels require progression in time)."""
+    from dandi_s3_log_parser_spark.operators.sessionize import event_funnel
+
+    rows = [(1, _ts(9, 0), "view"), (1, _ts(9, 0), "click"),
+            (1, _ts(9, 1), "click")]
+    out = {r["step"]: r["keys"] for r in
+           event_funnel(_fev(spark, rows), ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}
+
+    rows2 = [(1, _ts(9, 0), "view"), (1, _ts(9, 0), "click")]
+    out2 = {r["step"]: r["keys"] for r in
+            event_funnel(_fev(spark, rows2), ["view", "click"]).collect()}
+    assert out2 == {"view": 1, "click": 0}
+
+
+def test_event_funnel_empty_first_step_null_conversion(spark):
+    from dandi_s3_log_parser_spark.operators.sessionize import event_funnel
+
+    rows = [(1, _ts(9, 0), "click")]
+    got = event_funnel(_fev(spark, rows), ["view", "click"]).collect()
+    assert [(r["keys"], r["conversion"]) for r in got] == [
+        (0, None), (0, None)]
