@@ -701,6 +701,20 @@ def q_repetition_metrics(spark, sf):
     return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
 
 
+def q_boilerplate_strip(spark, sf):
+    """jusText-lite boilerplate stripping: 25-word block segments, keep
+    iff >=5 words and stopword ratio >=0.08 (calibrated to the synthetic
+    corpus's block-ratio histogram so both classes are non-empty)."""
+    from dandi_s3_log_parser_spark.operators.curation import boilerplate_strip
+
+    return boilerplate_strip(
+        _load(spark, sf, "documents"),
+        block_words=25,
+        min_stopword_ratio=0.08,
+        min_words=5,
+    ).orderBy("doc_id")
+
+
 def q_corpus_line_dedup(spark, sf):
     """CCNet-style corpus-level boilerplate removal: lines occurring in
     more than 3.5% of documents are stripped from every document, which
@@ -1635,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "pagerank": q_pagerank,
         "curation_funnel": q_curation_funnel,
+        "boilerplate_strip": q_boilerplate_strip,
         "sessionize": q_sessionize,
     }
 
@@ -3281,5 +3296,64 @@ def oracle_sql() -> dict[str, str]:
                    END AS conversion
             FROM counts CROSS JOIN base
             ORDER BY step_index
+        """,
+        # jusText-lite boilerplate strip: independent full recompute —
+        # newline paragraphs -> 25-word blocks -> stopword-density keep
+        # rule -> ordered reassembly; mirrors
+        # operators/curation.boilerplate_strip (block_words=25,
+        # min_stopword_ratio=0.08, min_words=5)
+        "boilerplate_strip": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\n+'),
+                                   p -> trim(p) <> '') AS paras
+                FROM documents
+            ), p AS (
+                SELECT doc_id, paras,
+                       unnest(generate_series(1, len(paras))) AS pi
+                FROM d
+            ), pw AS (
+                SELECT doc_id, pi,
+                       list_filter(string_split_regex(paras[pi], '\\s+'),
+                                   x -> x <> '') AS words
+                FROM p
+            ), si AS (
+                SELECT doc_id, pi, words,
+                       unnest(generate_series(
+                           0, CAST(ceil(len(words) / 25.0) AS BIGINT) - 1
+                       )) AS s
+                FROM pw
+            ), m AS (
+                SELECT doc_id, pi, s,
+                       array_to_string(
+                           list_slice(words, s*25 + 1, s*25 + 25), ' '
+                       ) AS seg,
+                       len(list_slice(words, s*25 + 1, s*25 + 25)) AS nw,
+                       len(list_filter(
+                           list_slice(words, s*25 + 1, s*25 + 25),
+                           w -> lower(w) IN ({_EN})
+                       )) AS hits
+                FROM si
+            ), agg AS (
+                SELECT doc_id,
+                       count(*) AS n_segments,
+                       count(*) FILTER (
+                           WHERE nw >= 5 AND hits * 1.0 / nw >= 0.08
+                       ) AS n_kept,
+                       coalesce(string_agg(seg, ' ' ORDER BY pi, s)
+                           FILTER (
+                               WHERE nw >= 5 AND hits * 1.0 / nw >= 0.08
+                           ), '') AS clean_text
+                FROM m GROUP BY doc_id
+            )
+            SELECT dd.doc_id,
+                   coalesce(agg.clean_text, '') AS clean_text,
+                   coalesce(agg.n_segments, 0) AS n_segments,
+                   coalesce(agg.n_kept, 0) AS n_kept,
+                   CASE WHEN coalesce(agg.n_segments, 0) > 0
+                        THEN round(1 - agg.n_kept * 1.0 / agg.n_segments, 4)
+                   END AS boilerplate_frac
+            FROM documents dd LEFT JOIN agg USING (doc_id)
+            ORDER BY doc_id
         """,
     }

@@ -1230,3 +1230,105 @@ def filter_blocked_domains(
     return docs.join(
         hit, docs[id_col] == hit["_bid"], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate stripping (jusText-lite segment classifier)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 25,
+    min_stopword_ratio: float = 0.10,
+    min_words: int = 5,
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Strip low-information segments from each document and return
+    the cleaned text — the jusText/trafilatura-style boilerplate pass
+    every web-corpus pipeline runs between HTML extraction and the
+    document-level quality filters.
+
+    Segmentation: paragraphs are newline-delimited; each paragraph is
+    further cut into fixed blocks of ``block_words`` whitespace tokens
+    (the fallback segmenter for single-paragraph pages, which is most
+    of a crawl after text extraction).  A segment is KEPT iff it has
+    at least ``min_words`` tokens AND its stopword-token ratio is at
+    least ``min_stopword_ratio`` — the jusText insight that natural
+    prose is dense in function words while navigation / keyword-stuffed
+    boilerplate is not.
+
+    Returns one row per input document: ``(id_col, clean_text,
+    n_segments, n_kept, boilerplate_frac)`` with kept segments joined
+    in original order and ``boilerplate_frac`` NULL for empty
+    documents (0 segments).
+
+    Scale shape: shuffle-free map-only projections — paragraph split,
+    block slicing, per-segment metrics, and reassembly are all native
+    higher-order array expressions (no explode, no re-aggregation, no
+    Python).  The expensive segment array is built in its OWN
+    projection and referenced by the downstream columns; Catalyst's
+    CollapseProject refuses to inline a non-cheap expression used more
+    than once, so the regex/tokenize work runs once per row, not once
+    per output column.
+    """
+    from ..functions.text import EN_STOPWORDS, _word_hit_regex
+
+    sw = stopwords if stopwords is not None else EN_STOPWORDS
+    pat = _word_hit_regex(sw)
+    b = block_words
+
+    def _blocks_of(p):
+        w = F.filter(F.split(p, r"\s+"), lambda t: t != "")
+        n = F.size(w)
+        idx = F.when(
+            n > 0,
+            F.sequence(F.lit(0), (F.ceil(n / F.lit(b)) - 1).cast("int")),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.array_join(F.slice(w, i * b + 1, b), " "))
+
+    paras = F.filter(
+        F.split(F.col(text_col), r"\n+"), lambda p: F.trim(p) != ""
+    )
+    blocks = F.flatten(F.transform(paras, _blocks_of))
+    segs = F.transform(
+        blocks,
+        lambda s: F.struct(
+            s.alias("seg"),
+            F.size(F.split(s, " ")).alias("nw"),
+            F.regexp_count(F.lower(s), F.lit(pat)).alias("hits"),
+        ),
+    )
+    # staged projections: each non-cheap array is named before being
+    # referenced more than once, so it is evaluated exactly once
+    staged = docs.select(F.col(id_col), segs.alias("_segs"))
+    staged = staged.select(
+        id_col,
+        F.size("_segs").cast("long").alias("n_segments"),
+        F.filter(
+            "_segs",
+            lambda t: (t["nw"] >= F.lit(min_words))
+            & ((t["hits"] / t["nw"]) >= F.lit(min_stopword_ratio)),
+        ).alias("_kept"),
+    )
+    staged = staged.select(
+        id_col,
+        F.array_join(
+            F.transform("_kept", lambda t: t["seg"]), " "
+        ).alias("clean_text"),
+        "n_segments",
+        F.size("_kept").cast("long").alias("n_kept"),
+    )
+    return staged.select(
+        id_col,
+        "clean_text",
+        "n_segments",
+        "n_kept",
+        F.when(
+            F.col("n_segments") > 0,
+            F.round(1 - F.col("n_kept") / F.col("n_segments"), 4),
+        ).alias("boilerplate_frac"),
+    )

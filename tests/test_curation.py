@@ -849,3 +849,62 @@ def test_domain_suffixes_values(spark):
         .first()
     )
     assert row["s"] == ["a.b.c", "b.c", "c"]
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_strip — jusText-lite segment classifier
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_strip_hand_computed(spark):
+    from dandi_s3_log_parser_spark.operators.curation import boilerplate_strip
+
+    rows = [
+        # para 1 = prose (13 words -> blocks of 10+3, both stopword-dense);
+        # para 2 = stopword-free junk (11 words -> blocks of 10+1, dropped)
+        (1, "the cat sat on the mat and it was warm in the sun today\n"
+            "buy now click here best deals sale discount offer free shipping"),
+        # 30 words, single paragraph: the/10 keep, zz/10 drop, stop/10 keep
+        (2, " ".join(["the"] * 10 + ["zz"] * 10
+                     + ["of", "a", "the", "is", "in", "on", "at", "we",
+                        "do", "it"])),
+        (3, ""),          # empty -> 0 segments, NULL frac
+        (4, "   \n  "),   # whitespace-only paragraphs -> 0 segments
+        (5, "short one"),  # below min_words -> dropped regardless of ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(
+            df, block_words=10, min_stopword_ratio=0.2, min_words=3
+        ).collect()
+    }
+    assert got[1]["clean_text"] == (
+        "the cat sat on the mat and it was warm in the sun today"
+    )
+    assert (got[1]["n_segments"], got[1]["n_kept"]) == (4, 2)
+    assert got[1]["boilerplate_frac"] == 0.5
+    assert got[2]["n_segments"] == 3 and got[2]["n_kept"] == 2
+    assert "zz" not in got[2]["clean_text"]
+    assert got[2]["clean_text"].startswith("the the")  # order preserved
+    assert (got[3]["n_segments"], got[3]["boilerplate_frac"]) == (0, None)
+    assert got[3]["clean_text"] == ""
+    assert got[4]["n_segments"] == 0
+    assert (got[5]["n_kept"], got[5]["boilerplate_frac"]) == (0, 1.0)
+
+
+def test_boilerplate_strip_plan_single_eval_no_exchange(spark):
+    """The segment array must be built once per row (staged projections
+    stop CollapseProject from inlining it per output column) and the
+    whole operator must stay map-only."""
+    from dandi_s3_log_parser_spark.operators.curation import boilerplate_strip
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        boilerplate_strip(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_extract_all") == 1
+    assert "Exchange" not in plan
