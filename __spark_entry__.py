@@ -701,6 +701,19 @@ def q_repetition_metrics(spark, sf):
     return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
 
 
+def q_approx_quantiles(spark, sf):
+    """GK quantile sketch (accuracy=50 -> 2% guaranteed rank error, so
+    the sketch is genuinely approximate even at oracle scale) bracket-
+    checked against the exact interpolated quantiles at p +/- 4%."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        approx_quantile_check,
+    )
+
+    return approx_quantile_check(
+        _load(spark, sf, "documents"), "lang", "n_chars", accuracy=50
+    )
+
+
 def q_boilerplate_strip(spark, sf):
     """jusText-lite boilerplate stripping: 25-word block segments, keep
     iff >=5 words and stopword ratio >=0.08 (calibrated to the synthetic
@@ -1650,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "curation_funnel": q_curation_funnel,
         "boilerplate_strip": q_boilerplate_strip,
+        "approx_quantiles": q_approx_quantiles,
         "sessionize": q_sessionize,
     }
 
@@ -3355,5 +3369,24 @@ def oracle_sql() -> dict[str, str]:
                    END AS boilerplate_frac
             FROM documents dd LEFT JOIN agg USING (doc_id)
             ORDER BY doc_id
+        """,
+        # approx_quantiles: the oracle recomputes the EXACT interpolated
+        # quantiles (same p*(n-1) rank-linear definition) and pins every
+        # bracket check TRUE — a GK sketch drifting past its 1/accuracy
+        # rank guarantee breaks the value hash like a wrong answer
+        # (mirrors the approx_distinct self-check pattern)
+        "approx_quantiles": """
+            SELECT lang,
+                   count(*) AS n,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4)
+                       AS p50,
+                   TRUE AS p50_ok,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4)
+                       AS p90,
+                   TRUE AS p90_ok,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 4)
+                       AS p99,
+                   TRUE AS p99_ok
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

@@ -162,6 +162,8 @@ HEADLINE_QUERIES = (
     "domain_blocklist",
     "incremental_dedup",
     "pagerank",
+    "event_funnel",
+    "boilerplate_strip",
 )
 
 

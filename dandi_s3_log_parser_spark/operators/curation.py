@@ -1332,3 +1332,50 @@ def boilerplate_strip(
             F.round(1 - F.col("n_kept") / F.col("n_segments"), 4),
         ).alias("boilerplate_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-quantile sketch self-check (GK / percentile_approx)
+# ---------------------------------------------------------------------------
+
+
+def approx_quantile_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 1000,
+    slack: float = 2.0,
+    ndp: int = 4,
+) -> DataFrame:
+    """Per-group quantile SKETCH (``percentile_approx``, Greenwald-
+    Khanna summary) self-checked against the exact quantile's rank-error
+    guarantee — the companion to ``approx_distinct_check`` for the other
+    sketch a 100 TB corpus-health report needs.
+
+    ``percentile_approx`` keeps a fixed-size mergeable summary with a
+    guaranteed rank error of ``1/accuracy``; exact ``percentile`` keeps
+    a value->count map that blows up on unbounded-double columns.  The
+    check brackets the sketch output between the EXACT interpolated
+    quantiles at ``p ± slack/accuracy`` (slack covers the sketch
+    returning a real element vs the interpolated ideal): a sketch
+    outside that window breaks the value hash exactly like a wrong
+    answer.  Output per group: ``n`` plus ``p<P>`` (exact, hashable)
+    and ``p<P>_ok`` (bracket check, oracle pins TRUE).
+    """
+    v = F.col(value_col).cast("double")
+    eps = slack / accuracy
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in probs:
+        lo, hi = max(0.0, p - eps), min(1.0, p + eps)
+        name = f"p{int(round(p * 100))}"
+        pa = F.percentile_approx(v, F.lit(p), F.lit(accuracy))
+        aggs.append(F.round(F.percentile(v, F.lit(p)), ndp).alias(name))
+        aggs.append(
+            (
+                (pa >= F.percentile(v, F.lit(lo)))
+                & (pa <= F.percentile(v, F.lit(hi)))
+            ).alias(f"{name}_ok")
+        )
+    return df.groupBy(group_col).agg(*aggs).orderBy(group_col)

@@ -908,3 +908,45 @@ def test_boilerplate_strip_plan_single_eval_no_exchange(spark):
     )
     assert plan.count("regexp_extract_all") == 1
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# approx_quantile_check — GK sketch vs exact rank-error bracket
+# ---------------------------------------------------------------------------
+
+
+def test_approx_quantile_check_within_guarantee(spark):
+    """A coarse sketch (accuracy=10, 10% rank error) over 1000 distinct
+    values must still pass the +/- slack/accuracy bracket."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        approx_quantile_check,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1000)], "grp string, v double"
+    )
+    row = approx_quantile_check(
+        df, "grp", "v", probs=(0.5, 0.9), accuracy=10
+    ).collect()[0]
+    assert row["n"] == 1000
+    assert row["p50"] == 499.5  # exact interpolated median of 0..999
+    assert row["p50_ok"] and row["p90_ok"]
+
+
+def test_approx_quantile_check_zero_slack_can_fail(spark):
+    """With slack=0 the bracket collapses to the exact interpolated
+    value; the sketch returns a real ELEMENT, which on an even-count
+    group differs from the interpolation — proving the check is real
+    (capable of failing), not a tautology."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        approx_quantile_check,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(100)], "grp string, v double"
+    )
+    row = approx_quantile_check(
+        df, "grp", "v", probs=(0.5,), accuracy=10000, slack=0.0
+    ).collect()[0]
+    assert row["p50"] == 49.5
+    assert row["p50_ok"] is False
