@@ -701,6 +701,29 @@ def q_repetition_metrics(spark, sf):
     return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
 
 
+def q_interval_overlap_join(spark, sf):
+    """Bucketized interval-overlap join: first week's view intervals x
+    click intervals (each event padded to a 120-minute window) within
+    the same user; hour buckets -> 3-bucket explode per interval."""
+    from dandi_s3_log_parser_spark.operators.asof import interval_overlap_join
+
+    ev = _load(spark, sf, "events").filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+
+    def mk(typ):
+        return ev.filter(F.col("event_type") == typ).select(
+            "user_id",
+            F.col("event_id").alias("id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 120 MINUTES")).alias("end"),
+        )
+
+    return interval_overlap_join(
+        mk("view"), mk("click"), key_col="user_id", bucket_seconds=3600
+    ).orderBy("l_id", "r_id")
+
+
 def q_approx_quantiles(spark, sf):
     """GK quantile sketch (accuracy=50 -> 2% guaranteed rank error, so
     the sketch is genuinely approximate even at oracle scale) bracket-
@@ -1664,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "boilerplate_strip": q_boilerplate_strip,
         "approx_quantiles": q_approx_quantiles,
+        "interval_overlap_join": q_interval_overlap_join,
         "sessionize": q_sessionize,
     }
 
@@ -3388,5 +3412,30 @@ def oracle_sql() -> dict[str, str]:
                        AS p99,
                    TRUE AS p99_ok
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # interval_overlap_join: the oracle runs the DIRECT overlap
+        # theta-join (affordable at oracle scale); the Spark side must
+        # produce the identical pair set through the bucketized
+        # equi-join + emit-once formulation
+        "interval_overlap_join": """
+            WITH l AS (
+                SELECT user_id, event_id AS l_id, ts AS s,
+                       ts + INTERVAL 120 MINUTE AS e
+                FROM events
+                WHERE event_type = 'view'
+                  AND ts < TIMESTAMP '2024-01-08 00:00:00'
+            ), r AS (
+                SELECT user_id, event_id AS r_id, ts AS s,
+                       ts + INTERVAL 120 MINUTE AS e
+                FROM events
+                WHERE event_type = 'click'
+                  AND ts < TIMESTAMP '2024-01-08 00:00:00'
+            )
+            SELECT l.user_id, l.l_id, r.r_id,
+                   greatest(l.s, r.s) AS overlap_start,
+                   least(l.e, r.e) AS overlap_end
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
+            ORDER BY l_id, r_id
         """,
     }

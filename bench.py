@@ -164,6 +164,7 @@ HEADLINE_QUERIES = (
     "pagerank",
     "event_funnel",
     "boilerplate_strip",
+    "interval_overlap_join",
 )
 
 

@@ -111,3 +111,103 @@ def asof_join(
             for c in value_cols
         ],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str | None = None,
+    id_col: str = "id",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join without the cross-join trap.
+
+    Returns one row per pair of CLOSED intervals that overlap
+    (``l.start <= r.end AND r.start <= l.end``), optionally restricted
+    to equal ``key_col``: ``(key?, l_id, r_id, overlap_start,
+    overlap_end)``.  NULL keys/bounds and invalid intervals
+    (``end < start``) never match.
+
+    Spark has no native interval join; the naive theta-join plan is a
+    BroadcastNestedLoop/cartesian that dies at scale.  This is the
+    bucketized formulation every large engine uses under the hood:
+
+    * each interval explodes into the coarse time buckets it spans
+      (``sequence(floor(start/b), floor(end/b))``) — narrow rows only
+      (key, id, start, end, bucket), never payload columns;
+    * candidates meet in an EQUI-join on (key, bucket) — hash join,
+      AQE-eligible, no nested loop;
+    * the exact overlap predicate filters false bucket-neighbors;
+    * each true pair is emitted EXACTLY ONCE — only in the bucket
+      containing ``greatest(l.start, r.start)`` (the overlap start,
+      which both sides' explosions are guaranteed to cover) — so no
+      distinct/dedup shuffle is needed at all.
+
+    Pick ``bucket_seconds`` near the typical interval length: the
+    explode factor is ``1 + duration/bucket`` per row, and the
+    candidate fan-in per bucket is what the equi-join hashes.  The
+    output is id pairs + overlap span; callers re-join payloads by id,
+    keeping the shuffled rows narrow at any corpus size.
+    """
+    if int(bucket_seconds) <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    # exact microsecond arithmetic: unix_timestamp would TRUNCATE
+    # sub-second timestamps and disagree with an exact engine at
+    # overlap boundaries; micros are lossless for timestamp columns
+    b = int(bucket_seconds) * 1_000_000
+
+    def _prep(df: DataFrame, side: str) -> DataFrame:
+        # cast: parquet columns are commonly TIMESTAMP_NTZ, which
+        # unix_micros rejects; under the engine's fixed UTC session tz
+        # the cast is value-preserving
+        s = F.col(start_col).cast("timestamp")
+        e = F.col(end_col).cast("timestamp")
+        cols = [
+            F.col(id_col).alias(f"{side}_id"),
+            F.unix_micros(s).alias(f"{side}_s"),
+            F.unix_micros(e).alias(f"{side}_e"),
+        ]
+        if key_col is not None:
+            cols.insert(0, F.col(key_col).alias(f"{side}_k"))
+        out = df.filter(
+            s.isNotNull() & e.isNotNull() & (e >= s)
+        ).select(*cols)
+        return out.withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{side}_s") / b),
+                    F.floor(F.col(f"{side}_e") / b),
+                )
+            ),
+        )
+
+    l = _prep(left, "l")
+    r = _prep(right, "r")
+    on = [l["_bkt"] == r["_bkt"]]
+    if key_col is not None:
+        on.append(l["l_k"] == r["r_k"])
+    ov_s = F.greatest(F.col("l_s"), F.col("r_s"))
+    ov_e = F.least(F.col("l_e"), F.col("r_e"))
+    joined = (
+        l.join(r, on[0] if len(on) == 1 else on[0] & on[1])
+        .filter(
+            (F.col("l_s") <= F.col("r_e"))
+            & (F.col("r_s") <= F.col("l_e"))
+            # emit-once: only the bucket containing the overlap start
+            & (l["_bkt"] == F.floor(ov_s / b))
+        )
+    )
+    out_cols = []
+    if key_col is not None:
+        out_cols.append(F.col("l_k").alias(key_col))
+    out_cols += [
+        "l_id",
+        "r_id",
+        F.timestamp_micros(ov_s).alias("overlap_start"),
+        F.timestamp_micros(ov_e).alias("overlap_end"),
+    ]
+    return joined.select(*out_cols)

@@ -79,3 +79,80 @@ def test_asof_join_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join — bucketized overlap join
+# ---------------------------------------------------------------------------
+
+
+def _iv(spark, rows):
+    import datetime as dt  # noqa: F401
+
+    return spark.createDataFrame(
+        rows, "uid long, id long, start timestamp, end timestamp"
+    )
+
+
+def test_interval_overlap_join_semantics(spark):
+    import datetime as dt
+
+    from dandi_s3_log_parser_spark.operators.asof import interval_overlap_join
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    left = _iv(spark, [
+        (1, 10, T(9, 0), T(9, 45)),   # overlaps r100 across 3 x 15-min buckets
+        (1, 11, T(11, 0), T(11, 5)),  # overlaps nothing
+        (2, 12, T(9, 0), T(9, 45)),   # same times, other key -> no match
+        (1, 13, T(12, 0), T(11, 0)),  # invalid (end < start) -> dropped
+        (1, 14, T(9, 40), T(9, 41)),  # second overlap with r100
+    ])
+    right = _iv(spark, [
+        (1, 100, T(9, 30), T(10, 30)),
+        (1, 101, T(11, 6), T(11, 7)),
+        (2, 102, T(23, 0), T(23, 30)),
+    ])
+    got = {
+        (r["l_id"], r["r_id"]): r
+        for r in interval_overlap_join(
+            left, right, key_col="uid", bucket_seconds=900
+        ).collect()
+    }
+    # emit-once: (10, 100) share buckets 9:30 and 9:45 but appear once
+    assert set(got) == {(10, 100), (14, 100)}
+    assert got[(10, 100)]["overlap_start"] == T(9, 30)
+    assert got[(10, 100)]["overlap_end"] == T(9, 45)
+    assert got[(14, 100)]["overlap_start"] == T(9, 40)
+
+
+def test_interval_overlap_join_closed_boundary_and_micros(spark):
+    """Closed-interval touch at the boundary matches, and sub-second
+    timestamps are compared exactly (micros, not truncated seconds)."""
+    import datetime as dt
+
+    from dandi_s3_log_parser_spark.operators.asof import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0, 500000)
+    left = _iv(spark, [(1, 1, dt.datetime(2024, 1, 1, 9), t0)])
+    # starts 1 microsecond after left ends -> NO overlap; equal -> overlap
+    r_touch = _iv(spark, [(1, 2, t0, dt.datetime(2024, 1, 1, 11))])
+    r_miss = _iv(spark, [
+        (1, 3, t0 + dt.timedelta(microseconds=1), dt.datetime(2024, 1, 1, 11))
+    ])
+    assert interval_overlap_join(left, r_touch, key_col="uid").count() == 1
+    assert interval_overlap_join(left, r_miss, key_col="uid").count() == 0
+
+
+def test_interval_overlap_join_plan_is_hash_join(spark):
+    import datetime as dt
+
+    from dandi_s3_log_parser_spark.operators.asof import interval_overlap_join
+
+    df = _iv(spark, [(1, 1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))])
+    plan = (
+        interval_overlap_join(df, df, key_col="uid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
