@@ -701,6 +701,18 @@ def q_repetition_metrics(spark, sf):
     return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
 
 
+def q_burst_detect(spark, sf):
+    """Trailing 24h RANGE-frame rate limit on the events stream:
+    events whose user hit >=8 events in the prior day (incl. self)."""
+    from dandi_s3_log_parser_spark.operators.anomaly import burst_detect
+
+    return burst_detect(
+        _load(spark, sf, "events"),
+        window_seconds=86400,
+        threshold=8,
+    ).orderBy("user_id", "event_id")
+
+
 def q_interval_overlap_join(spark, sf):
     """Bucketized interval-overlap join: first week's view intervals x
     click intervals (each event padded to a 120-minute window) within
@@ -1688,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "approx_quantiles": q_approx_quantiles,
         "interval_overlap_join": q_interval_overlap_join,
+        "burst_detect": q_burst_detect,
         "sessionize": q_sessionize,
     }
 
@@ -3437,5 +3450,22 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN r
               ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
             ORDER BY l_id, r_id
+        """,
+        # burst_detect: identical value-based RANGE frame over
+        # microsecond epochs; ties are peers in both engines so the
+        # trailing count is order-stable
+        "burst_detect": """
+            WITH c AS (
+                SELECT user_id, event_id, ts,
+                       count(*) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 86400000000 PRECEDING
+                                     AND CURRENT ROW
+                       ) AS trailing_count
+                FROM events
+            )
+            SELECT user_id, event_id, ts, trailing_count
+            FROM c WHERE trailing_count >= 8
+            ORDER BY user_id, event_id
         """,
     }

@@ -165,6 +165,7 @@ HEADLINE_QUERIES = (
     "event_funnel",
     "boilerplate_strip",
     "interval_overlap_join",
+    "burst_detect",
 )
 
 

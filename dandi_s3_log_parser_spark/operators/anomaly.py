@@ -92,3 +92,51 @@ def rolling_anomaly(
             "is_anomaly"
         ),
     )
+
+
+def burst_detect(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    threshold: int = 20,
+) -> DataFrame:
+    """Sliding-window rate-limit / burst detection: flag every event
+    whose key produced at least ``threshold`` events in the trailing
+    ``window_seconds`` (inclusive of the event itself) — the abuse /
+    scraper / runaway-client query every access-log pipeline runs.
+
+    EXACT event-time semantics via a value-based RANGE frame (``RANGE
+    BETWEEN W PRECEDING AND CURRENT ROW`` over microsecond epochs), not
+    a tumbling-bucket approximation: a burst straddling a bucket edge
+    cannot hide.  Timestamp ties are peers — the frame is value-based,
+    so all same-microsecond events see the same trailing count in any
+    engine and the result is order-stable / hash-comparable.
+
+    Returns flagged events only: ``(key, id, ts, trailing_count)``.
+
+    Scale: ONE exchange hash-partitioned on the key; each key's
+    timeline sorts within its partition and the trailing count is a
+    streaming frame (no buffering beyond the window).  Keys are
+    plentiful in access logs (IPs/users), so partition parallelism
+    holds; a single pathological hot key serializes only its own
+    timeline — the same documented trade as ``asof_join``, with the
+    same two-phase bucket escape hatch if a workload ever needs it.
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_us)
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    return (
+        events.select(
+            F.col(key_col),
+            F.col(id_col),
+            F.col(ts_col),
+            F.count(F.lit(1)).over(w).alias("trailing_count"),
+        )
+        .filter(F.col("trailing_count") >= threshold)
+    )

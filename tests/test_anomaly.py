@@ -68,3 +68,75 @@ def test_rolling_anomaly_window_is_key_partitioned(spark):
     assert out.filter(F.col("key") == "other").count() == 3
     with pytest.raises(ValueError):
         rolling_anomaly(ev, window_days=0)
+
+
+# ---------------------------------------------------------------------------
+# burst_detect — RANGE-frame sliding-window rate limiting
+# ---------------------------------------------------------------------------
+
+
+def test_burst_detect_sliding_window_exact(spark):
+    """A burst straddling a tumbling-bucket edge is still caught:
+    3 events within any 60s window trigger, regardless of alignment."""
+    import datetime as dt
+
+    from dandi_s3_log_parser_spark.operators.anomaly import burst_detect
+
+    T = lambda m, s=0: dt.datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    rows = [
+        # u1: events at 10:00:30, 10:01:00, 10:01:20 -> 3rd sees all
+        (1, 1, T(0, 30)), (1, 2, T(1, 0)), (1, 3, T(1, 20)),
+        # u1: far-away single event -> trailing count 1
+        (1, 4, T(30)),
+        # u2: two events only -> never reaches 3
+        (2, 5, T(0)), (2, 6, T(0, 30)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = burst_detect(
+        df, window_seconds=60, threshold=3
+    ).collect()
+    assert [(r["user_id"], r["event_id"], r["trailing_count"]) for r in got] == [
+        (1, 3, 3)
+    ]
+
+
+def test_burst_detect_window_is_inclusive_and_exact_boundary(spark):
+    """An event exactly window_seconds before counts (closed frame);
+    one microsecond earlier does not."""
+    import datetime as dt
+
+    from dandi_s3_log_parser_spark.operators.anomaly import burst_detect
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows_in = [(1, 1, t0), (1, 2, t0 + dt.timedelta(seconds=60))]
+    rows_out = [
+        (1, 1, t0 - dt.timedelta(microseconds=1)),
+        (1, 2, t0 + dt.timedelta(seconds=60)),
+    ]
+    schema = "user_id long, event_id long, ts timestamp"
+    got_in = burst_detect(
+        spark.createDataFrame(rows_in, schema), window_seconds=60, threshold=2
+    ).collect()
+    got_out = burst_detect(
+        spark.createDataFrame(rows_out, schema), window_seconds=60, threshold=2
+    ).collect()
+    assert [r["event_id"] for r in got_in] == [2]
+    assert got_out == []
+
+
+def test_burst_detect_ties_are_peers(spark):
+    """Same-microsecond events all see the same trailing count (value-
+    based frame), so the result is independent of within-tie order."""
+    import datetime as dt
+
+    from dandi_s3_log_parser_spark.operators.anomaly import burst_detect
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, i, t0) for i in range(3)]
+    got = burst_detect(
+        spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp"),
+        window_seconds=60,
+        threshold=3,
+    ).collect()
+    assert sorted(r["event_id"] for r in got) == [0, 1, 2]
+    assert {r["trailing_count"] for r in got} == {3}
