@@ -701,6 +701,13 @@ def q_repetition_metrics(spark, sf):
     return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
 
 
+def q_char_entropy(spark, sf):
+    """Per-document character-distribution Shannon entropy (bits)."""
+    from dandi_s3_log_parser_spark.operators.curation import char_entropy
+
+    return char_entropy(_load(spark, sf, "documents")).orderBy("doc_id")
+
+
 def q_burst_detect(spark, sf):
     """Trailing 24h RANGE-frame rate limit on the events stream:
     events whose user hit >=8 events in the prior day (incl. self)."""
@@ -1701,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": q_approx_quantiles,
         "interval_overlap_join": q_interval_overlap_join,
         "burst_detect": q_burst_detect,
+        "char_entropy": q_char_entropy,
         "sessionize": q_sessionize,
     }
 
@@ -3467,5 +3475,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts, trailing_count
             FROM c WHERE trailing_count >= 8
             ORDER BY user_id, event_id
+        """,
+        # char_entropy: same one-aggregate identity
+        # log2(n) - sum(c*log2(c))/n over per-character counts; the
+        # ch <> '' guard mirrors Spark's empty-string -> empty-array
+        # explode (DuckDB's string_split('', '') yields [''])
+        "char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents
+            ), per AS (
+                SELECT doc_id, ch, count(*) AS cnt
+                FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+            ), agg AS (
+                SELECT doc_id, sum(cnt) AS n_chars,
+                       log2(sum(cnt))
+                           - sum(cnt * log2(cnt)) / sum(cnt) AS h
+                FROM per GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(agg.n_chars, 0) AS BIGINT) AS n_chars,
+                   coalesce(round(h, 6), 0.0) AS entropy
+            FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY doc_id
         """,
     }

@@ -1379,3 +1379,55 @@ def approx_quantile_check(
             ).alias(f"{name}_ok")
         )
     return df.groupBy(group_col).agg(*aggs).orderBy(group_col)
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndp: int = 6,
+) -> DataFrame:
+    """Shannon entropy (bits) of each document's character
+    distribution — the cheap garbled-text detector: binary junk /
+    base64 blobs sit near the ceiling (log2 of alphabet size), while
+    single-character spam sits near 0; natural language clusters in a
+    narrow band in between, so both tails are drop rules.
+
+    Computed as ``log2(n) - sum(c_i * log2(c_i)) / n`` from per-
+    character counts, which needs only ONE aggregate over the exploded
+    characters (no second pass to turn counts into probabilities).
+
+    Returns ``(doc_id, n_chars, entropy)``; empty documents report
+    ``(0, 0.0)``.
+
+    Scale shape: explode -> two hash aggregates, the same plan family
+    as ``repetition_metrics`` — the (doc, char) shuffle key spreads a
+    hot document over its alphabet, the per-doc reduce carries two
+    doubles, and the zero-char restore is the shared left-join idiom
+    (see repetition_metrics on why not anti-join + union).
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"(?s)."), 0)
+        ).alias("ch"),
+    )
+    per = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_chars"),
+        (
+            F.log2(F.sum("cnt"))
+            - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt")
+        ).alias("_h"),
+    )
+    return docs.select(F.col(id_col)).join(agg, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce(F.round(F.col("_h"), ndp), F.lit(0.0)).alias("entropy"),
+    )

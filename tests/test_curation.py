@@ -950,3 +950,47 @@ def test_approx_quantile_check_zero_slack_can_fail(spark):
     ).collect()[0]
     assert row["p50"] == 49.5
     assert row["p50_ok"] is False
+
+
+# ---------------------------------------------------------------------------
+# char_entropy — character-distribution quality signal
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from dandi_s3_log_parser_spark.operators.curation import char_entropy
+
+    rows = [
+        (1, "aaaa"),        # one symbol -> 0 bits
+        (2, "abab"),        # two equiprobable -> 1 bit
+        (3, "abcd"),        # four equiprobable -> 2 bits
+        (4, ""),            # empty -> (0, 0.0)
+        (5, "aab"),         # 2/3,1/3 -> H = log2(3) - (2/3)
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in char_entropy(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert (got[1]["n_chars"], got[1]["entropy"]) == (4, 0.0)
+    assert got[2]["entropy"] == 1.0
+    assert got[3]["entropy"] == 2.0
+    assert (got[4]["n_chars"], got[4]["entropy"]) == (0, 0.0)
+    assert got[5]["entropy"] == pytest.approx(
+        round(math.log2(3) - 2 / 3, 6)
+    )
+
+
+def test_char_entropy_counts_newlines_and_spaces(spark):
+    """(?s). must include whitespace/newlines — they are part of the
+    byte-level distribution a garbled-text filter looks at."""
+    from dandi_s3_log_parser_spark.operators.curation import char_entropy
+
+    got = char_entropy(
+        spark.createDataFrame([(1, "a\n b")], "doc_id long, text string")
+    ).collect()[0]
+    assert got["n_chars"] == 4
+    assert got["entropy"] == 2.0
