@@ -701,6 +701,15 @@ def q_repetition_metrics(spark, sf):
     return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
 
 
+def q_pmi_collocations(spark, sf):
+    """Top-50 bigram collocations by PMI (pairs seen >=5 times)."""
+    from dandi_s3_log_parser_spark.operators.curation import pmi_collocations
+
+    return pmi_collocations(
+        _load(spark, sf, "documents"), min_count=5, topk=50
+    )
+
+
 def q_char_entropy(spark, sf):
     """Per-document character-distribution Shannon entropy (bits)."""
     from dandi_s3_log_parser_spark.operators.curation import char_entropy
@@ -1709,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": q_interval_overlap_join,
         "burst_detect": q_burst_detect,
         "char_entropy": q_char_entropy,
+        "pmi_collocations": q_pmi_collocations,
         "sessionize": q_sessionize,
     }
 
@@ -3498,5 +3508,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(h, 6), 0.0) AS entropy
             FROM documents d LEFT JOIN agg USING (doc_id)
             ORDER BY doc_id
+        """,
+        # pmi_collocations: same probability decomposition and the
+        # identical arithmetic shape (ratio-of-ratios inside one log2),
+        # ordered on the ROUNDED pmi with (w1, w2) tie-break so the
+        # top-k cut is engine-stable
+        "pmi_collocations": """
+            WITH d AS (
+                SELECT list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''
+                       ) AS words
+                FROM documents
+            ), uc AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(words) AS w FROM d) GROUP BY w
+            ), nu AS (
+                SELECT sum(c) AS n_uni FROM uc
+            ), bgi AS (
+                SELECT words,
+                       unnest(generate_series(1, len(words) - 1)) AS i
+                FROM d
+            ), bi_all AS (
+                SELECT words[i] AS w1, words[i + 1] AS w2,
+                       count(*) AS pair_count
+                FROM bgi GROUP BY 1, 2
+            ), nb AS (
+                SELECT sum(pair_count) AS n_bi FROM bi_all
+            ), bi AS (
+                SELECT * FROM bi_all WHERE pair_count >= 5
+            )
+            SELECT bi.w1, bi.w2, bi.pair_count,
+                   round(log2(
+                       (bi.pair_count * 1.0 / n_bi)
+                       / ((ca.c * 1.0 / n_uni) * (cb.c * 1.0 / n_uni))
+                   ), 6) AS pmi
+            FROM bi
+            JOIN uc ca ON ca.w = bi.w1
+            JOIN uc cb ON cb.w = bi.w2
+            CROSS JOIN nb CROSS JOIN nu
+            ORDER BY pmi DESC, w1, w2
+            LIMIT 50
         """,
     }

@@ -1431,3 +1431,80 @@ def char_entropy(
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
         F.coalesce(F.round(F.col("_h"), ndp), F.lit(0.0)).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus-level bigram association)
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 50,
+    ndp: int = 6,
+) -> DataFrame:
+    """Top-k word-bigram collocations by pointwise mutual information —
+    the corpus-analysis query behind tokenizer-merge candidates,
+    phrase-mining, and stock-phrase boilerplate discovery.
+
+    ``pmi(a,b) = log2( p(a,b) / (p(a) p(b)) )`` with ``p(a,b)`` over
+    bigram occurrences and ``p(a)`` over token occurrences; pairs with
+    fewer than ``min_count`` occurrences are dropped BEFORE any join
+    (rare-pair PMI is noise and the long tail is the bulk of the
+    distinct-pair table).  Ordering is on the ROUNDED pmi with a
+    (w1, w2) tie-break so the top-k cut is reproducible across engines
+    and runs.  Returns ``(w1, w2, pair_count, pmi)``.
+
+    Scale shape: token/bigram explodes collapse map-side into
+    word-keyed counts (narrow string keys, the classic word-count
+    plan); the two unigram probes are hash equi-joins against a
+    (word, count) table that at web scale is ~10^8 rows — joinable,
+    NOT broadcastable, which is why the min_count prune comes first.
+    The bigram-total branch references the same exploded aggregate as
+    the pair table, sharing its exchange via Spark's ReusedExchange.
+    The final top-k is ``TakeOrderedAndProject`` (no global sort).
+    """
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks_arr)
+    bg = F.zip_with(
+        F.slice(toks_arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks_arr, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    uni = (
+        docs.select(F.explode(toks_arr).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    bi_all = (
+        docs.select(F.explode(bg).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    n_bi = bi_all.agg(F.sum("pair_count").alias("n_bi"))
+    bi = bi_all.filter(F.col("pair_count") >= min_count)
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("_ca"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("_cb"))
+    pmi = F.round(
+        F.log2(
+            (F.col("pair_count") / F.col("n_bi"))
+            / ((F.col("_ca") / F.col("n_uni")) * (F.col("_cb") / F.col("n_uni")))
+        ),
+        ndp,
+    )
+    return (
+        bi.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(topk)
+    )

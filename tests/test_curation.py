@@ -994,3 +994,55 @@ def test_char_entropy_counts_newlines_and_spaces(spark):
     ).collect()[0]
     assert got["n_chars"] == 4
     assert got["entropy"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations — bigram PMI
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """'new york' always co-occurs; 'the the' is anti-associated."""
+    import math
+
+    from dandi_s3_log_parser_spark.operators.curation import pmi_collocations
+
+    # 4 docs, each "new york" once; "the" floods the unigram table
+    rows = [(i, "the quick the lazy new york the end") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(df, min_count=2, topk=100).collect()
+    }
+    ny = got[("new", "york")]
+    assert ny["pair_count"] == 4
+    # p(new,york)=4/28 bigrams; p(new)=p(york)=4/32 tokens
+    expect = math.log2((4 / 28) / ((4 / 32) * (4 / 32)))
+    assert ny["pmi"] == pytest.approx(round(expect, 6))
+    # frequent-but-independent pair scores far lower
+    assert got[("the", "quick")]["pmi"] < ny["pmi"]
+
+
+def test_pmi_collocations_min_count_prunes_before_topk(spark):
+    from dandi_s3_log_parser_spark.operators.curation import pmi_collocations
+
+    rows = [(1, "rare pair"), (2, "common duo"), (3, "common duo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_collocations(df, min_count=2, topk=10).collect()
+    assert [(r["w1"], r["w2"]) for r in got] == [("common", "duo")]
+
+
+def test_pmi_collocations_plan_take_ordered_and_reused_exchange(spark):
+    """Top-k must be TakeOrderedAndProject (no global sort) and the
+    bigram-total branch must reuse the pair aggregate's exchange."""
+    from dandi_s3_log_parser_spark.operators.curation import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    out = pmi_collocations(df, min_count=1)
+    out.collect()  # finalize AQE so exchange reuse is decided
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    assert "ReusedExchange" in plan
