@@ -701,6 +701,32 @@ def q_repetition_metrics(spark, sf):
     return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
 
 
+def q_apply_cdc(spark, sf):
+    """CDC merge: orders replayed as a change stream over the customer
+    snapshot (seq = o_orderkey, delete when o_orderkey % 10 == 0,
+    otherwise upsert with the order's totalprice as the new balance)."""
+    from dandi_s3_log_parser_spark.operators.cdc import apply_cdc
+
+    snap = _load(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    o = _load(spark, sf, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd-"), F.col("o_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.round(F.col("o_totalprice"), 2).alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_cdc(snap, changes, key_col="c_custkey").orderBy(
+        "c_custkey"
+    )
+
+
 def q_pmi_collocations(spark, sf):
     """Top-50 bigram collocations by PMI (pairs seen >=5 times)."""
     from dandi_s3_log_parser_spark.operators.curation import pmi_collocations
@@ -1719,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_detect": q_burst_detect,
         "char_entropy": q_char_entropy,
         "pmi_collocations": q_pmi_collocations,
+        "apply_cdc": q_apply_cdc,
         "sessionize": q_sessionize,
     }
 
@@ -3549,5 +3576,32 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN nb CROSS JOIN nu
             ORDER BY pmi DESC, w1, w2
             LIMIT 50
+        """,
+        # apply_cdc: latest-wins via arg_max over the same synthesized
+        # change stream; deletes drop the key, upserts replace-or-
+        # insert, untouched snapshot rows pass through
+        "apply_cdc": """
+            WITH changes AS (
+                SELECT o_custkey AS c_custkey,
+                       'upd-' || CAST(o_custkey AS VARCHAR) AS c_name,
+                       round(o_totalprice, 2) AS c_acctbal,
+                       o_orderkey AS seq,
+                       CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                            ELSE 'U' END AS op
+                FROM orders
+            ), latest AS (
+                SELECT c_custkey,
+                       arg_max(op, seq) AS op,
+                       arg_max(c_name, seq) AS c_name,
+                       arg_max(c_acctbal, seq) AS c_acctbal
+                FROM changes GROUP BY c_custkey
+            )
+            SELECT s.c_custkey, s.c_name, s.c_acctbal
+            FROM customer s LEFT JOIN latest l USING (c_custkey)
+            WHERE l.c_custkey IS NULL
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal
+            FROM latest WHERE op = 'U'
+            ORDER BY c_custkey
         """,
     }

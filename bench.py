@@ -166,6 +166,7 @@ HEADLINE_QUERIES = (
     "boilerplate_strip",
     "interval_overlap_join",
     "burst_detect",
+    "apply_cdc",
 )
 
 
