@@ -701,6 +701,18 @@ def q_repetition_metrics(spark, sf):
     return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
 
 
+def q_equidepth_histogram(spark, sf):
+    """8-bucket equi-depth length histogram per language (cutpoints at
+    k/8 — exact binary fractions, so interpolation is FP-identical)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        equidepth_histogram,
+    )
+
+    return equidepth_histogram(
+        _load(spark, sf, "documents"), "n_chars", group_col="lang", buckets=8
+    )
+
+
 def q_apply_cdc(spark, sf):
     """CDC merge: orders replayed as a change stream over the customer
     snapshot (seq = o_orderkey, delete when o_orderkey % 10 == 0,
@@ -1746,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "pmi_collocations": q_pmi_collocations,
         "apply_cdc": q_apply_cdc,
+        "equidepth_histogram": q_equidepth_histogram,
         "sessionize": q_sessionize,
     }
 
@@ -3603,5 +3616,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal
             FROM latest WHERE op = 'U'
             ORDER BY c_custkey
+        """,
+        # equidepth_histogram: identical cutpoint-counting bucket rule
+        # (bucket = #cutpoints strictly below the value) over the same
+        # exact interpolated quantiles at k/8
+        "equidepth_histogram": """
+            WITH cuts AS (
+                SELECT lang,
+                       quantile_cont(CAST(n_chars AS DOUBLE),
+                           [0.125, 0.25, 0.375, 0.5,
+                            0.625, 0.75, 0.875]) AS cuts
+                FROM documents GROUP BY lang
+            ), b AS (
+                SELECT d.lang,
+                       CAST(d.n_chars AS DOUBLE) AS v,
+                       len(list_filter(
+                           c.cuts,
+                           x -> x < CAST(d.n_chars AS DOUBLE)
+                       )) AS bucket
+                FROM documents d JOIN cuts c USING (lang)
+            )
+            SELECT lang, bucket, count(*) AS n,
+                   round(min(v), 4) AS lo, round(max(v), 4) AS hi
+            FROM b GROUP BY lang, bucket
+            ORDER BY lang, bucket
         """,
     }

@@ -1508,3 +1508,54 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(topk)
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (corpus-health report)
+# ---------------------------------------------------------------------------
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+    buckets: int = 10,
+    ndp: int = 4,
+) -> DataFrame:
+    """Per-group equi-depth histogram of ``value_col`` — the length /
+    token-count / score distribution panel of a corpus-health report.
+
+    NOT the rank formulation: ``ntile`` would need a total sort of
+    every group.  Instead the exact interpolated quantile cutpoints at
+    ``k/buckets`` come out of ONE aggregate (Spark's ``percentile``
+    keeps a value->count map — the ``group_quantiles`` scale argument),
+    broadcast back, and each row buys its bucket with a counting scan
+    of the tiny cutpoint array (``bucket = #cutpoints < value``, so a
+    value equal to a cutpoint falls in the LOWER bucket).  A second
+    narrow aggregate yields per-bucket count/min/max.  Two map-side-
+    combining aggregates + one broadcast join; no sort, no window.
+
+    Heavy ties make bucket populations uneven (value-based cuts cannot
+    split a tie) and can leave buckets EMPTY — absent from the output,
+    by design.  Returns ``(group, bucket, n, lo, hi)``.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    v = F.col(value_col).cast("double")
+    probs = [k / buckets for k in range(1, buckets)]
+    cuts = df.groupBy(group_col).agg(
+        F.percentile(v, F.array(*[F.lit(p) for p in probs])).alias("_cuts")
+    )
+    bucket = F.size(F.filter("_cuts", lambda c: c < v)).alias("bucket")
+    return (
+        df.join(F.broadcast(cuts), on=group_col)
+        .select(F.col(group_col), v.alias("_v"), bucket)
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("_v"), ndp).alias("lo"),
+            F.round(F.max("_v"), ndp).alias("hi"),
+        )
+        .orderBy(group_col, "bucket")
+    )

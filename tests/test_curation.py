@@ -1046,3 +1046,58 @@ def test_pmi_collocations_plan_take_ordered_and_reused_exchange(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
     assert "ReusedExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# equidepth_histogram — cutpoint-counted value buckets
+# ---------------------------------------------------------------------------
+
+
+def test_equidepth_histogram_uniform_values(spark):
+    from dandi_s3_log_parser_spark.operators.curation import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(16)], "grp string, v double"
+    )
+    got = equidepth_histogram(df, "v", group_col="grp", buckets=4).collect()
+    assert [
+        (r["bucket"], r["n"], r["lo"], r["hi"]) for r in got
+    ] == [
+        (0, 4, 0.0, 3.0),
+        (1, 4, 4.0, 7.0),
+        (2, 4, 8.0, 11.0),
+        (3, 4, 12.0, 15.0),
+    ]
+
+
+def test_equidepth_histogram_ties_lower_bucket_and_gaps(spark):
+    """A value equal to a cutpoint lands in the LOWER bucket; a heavy
+    tie can empty downstream buckets (absent rows, not zero rows)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0)] * 9 + [("g", 9.0)], "grp string, v double"
+    )
+    got = equidepth_histogram(df, "v", group_col="grp", buckets=2).collect()
+    # median cut = 1.0; every 1.0 is NOT strictly above it -> bucket 0
+    assert [(r["bucket"], r["n"], r["lo"], r["hi"]) for r in got] == [
+        (0, 9, 1.0, 1.0),
+        (1, 1, 9.0, 9.0),
+    ]
+
+
+def test_equidepth_histogram_plan_no_sort_no_window(spark):
+    from dandi_s3_log_parser_spark.operators.curation import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    out = equidepth_histogram(df, "v", group_col="grp")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
