@@ -216,6 +216,56 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Corpus-health report: per-source stats, per-language exact
+    length quantiles, an equi-depth length histogram, and the
+    character-entropy band (whose tails are the garbled-text /
+    single-char-spam drop candidates).  Read-only — the panel a
+    curation run prints before anyone commits to filter thresholds."""
+    from pyspark.sql import functions as F
+
+    from .operators.curation import (
+        char_entropy,
+        equidepth_histogram,
+        group_quantiles,
+        source_stats,
+    )
+
+    spark = _build_session(args)
+    docs = spark.read.parquet(args.documents)
+    docs = docs.withColumn("_len", F.length("text"))
+    group = "lang" if "lang" in docs.columns else None
+    if group is None:
+        docs = docs.withColumn("lang", F.lit("all"))
+        group = "lang"
+
+    if "source" in docs.columns:
+        for r in source_stats(docs).collect():
+            print(
+                f"report: source={r['source']} docs={r['docs']} "
+                f"tokens={r['total_tokens']} avg_chars={r['avg_chars']}"
+            )
+    for r in group_quantiles(docs, group, "_len").collect():
+        qs = " ".join(
+            f"{c}={r[c]}" for c in r.asDict() if c.startswith("p")
+        )
+        print(f"report: len-quantiles {group}={r[group]} n={r['n']} {qs}")
+    for r in equidepth_histogram(
+        docs, "_len", group_col=group, buckets=args.buckets
+    ).collect():
+        print(
+            f"report: len-hist {group}={r[group]} bucket={r['bucket']} "
+            f"n={r['n']} lo={r['lo']} hi={r['hi']}"
+        )
+    ent = char_entropy(docs).join(docs.select("doc_id", group), "doc_id")
+    for r in group_quantiles(ent, group, "entropy").collect():
+        qs = " ".join(
+            f"{c}={r[c]}" for c in r.asDict() if c.startswith("p")
+        )
+        print(f"report: char-entropy {group}={r[group]} n={r['n']} {qs}")
+    return 0
+
+
 def cmd_lineage(args) -> int:
     from .plans.lineage import LineageLog
     from .sources.tables import Catalog
@@ -304,6 +354,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--line-df-limit", type=int, default=None,
                    help="strip lines occurring in more than this many docs")
     c.set_defaults(fn=cmd_curate)
+
+    rp = sub.add_parser(
+        "report",
+        help="corpus-health report: source stats, length quantiles, "
+             "equi-depth histogram, char-entropy band (read-only)",
+    )
+    rp.add_argument("--documents", required=True, help="documents parquet path")
+    rp.add_argument("--buckets", type=int, default=8,
+                    help="equi-depth histogram buckets")
+    rp.set_defaults(fn=cmd_report)
 
     li = sub.add_parser("lineage", help="show the lineage/checkpoint table")
     li.add_argument("--warehouse", required=True)

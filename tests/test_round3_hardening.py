@@ -189,3 +189,23 @@ def test_cli_stream_reduce_drains(spark, tmp_path):
     assert rc == 0
     cat = Catalog(spark, tmp_path / "wh")
     assert read_stream_reduced(cat).count() > 0
+
+
+def test_cli_report_panel(spark, capsys):
+    """The report verb prints every panel section (source stats, length
+    quantiles, equi-depth histogram, char-entropy band) and is
+    read-only."""
+    from dandi_s3_log_parser_spark.cli import main
+
+    rc = main([
+        "--local-cores", "8",
+        "report",
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--buckets", "4",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "report: source=" in out
+    assert "report: len-quantiles" in out
+    assert "report: len-hist" in out and "bucket=3" in out
+    assert "report: char-entropy" in out
