@@ -389,3 +389,98 @@ def test_stream_anomaly_welford_merge_matches_batch_stats(spark, tmp_path):
         if x["value"] == 10.0
     ][0]
     assert r["z"] == want
+
+
+def test_stream_cdc_latest_wins_and_out_of_order(spark, tmp_path):
+    """Changelog semantics: a key emits only when its winner changes;
+    a late-arriving stale seq (out-of-order batch) emits nothing."""
+    from dandi_s3_log_parser_spark.streaming.stream_cdc import stream_cdc_latest
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    schema = "id long, name string, seq long, op string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_cdc_latest(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    batch1 = [(1, "v1", 10, "U"), (1, "v2", 20, "U"), (2, "w1", 5, "U")]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(src))
+    drain()
+    got1 = {r["id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert (got1[1]["name"], got1[1]["seq"]) == ("v2", 20)  # in-batch max
+    assert got1[2]["name"] == "w1"
+
+    # batch 2: key 1 gets a STALE change (seq 15 < 20) -> no emission;
+    # key 2 gets a delete with a higher seq -> emitted
+    batch2 = [(1, "stale", 15, "U"), (2, None, 6, "D")]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src))
+    drain()
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 3  # exactly one new emission
+    latest2 = max(
+        (r for r in rows if r["id"] == 2), key=lambda r: r["seq"]
+    )
+    assert (latest2["op"], latest2["seq"]) == ("D", 6)
+    assert max(r["seq"] for r in rows if r["id"] == 1) == 20  # stale ignored
+
+
+def test_stream_cdc_changelog_replays_to_batch_apply_cdc(spark, tmp_path):
+    """Last emission per key (drop final deletes) + untouched snapshot
+    rows == apply_cdc on the concatenated change stream."""
+    import pyspark.sql.functions as F
+
+    from dandi_s3_log_parser_spark.operators.cdc import apply_cdc
+    from dandi_s3_log_parser_spark.streaming.stream_cdc import stream_cdc_latest
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    schema = "id long, name string, seq long, op string"
+    b1 = [(1, "a", 1, "U"), (2, "b", 2, "U"), (3, "c", 3, "U")]
+    b2 = [(1, None, 9, "D"), (2, "b2", 8, "U"), (4, "d", 7, "U")]
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(
+            str(src)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_cdc_latest(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    snap = spark.createDataFrame(
+        [(3, "old3"), (5, "keep5")], "id long, name string"
+    )
+    # replay: last emission per key, drop deletes, apply over snapshot
+    log = spark.read.parquet(str(out))
+    winner = log.groupBy("id").agg(
+        F.max_by(F.struct("name", "op"), "seq").alias("w")
+    )
+    ups = winner.filter(F.col("w.op") == "U").select(
+        "id", F.col("w.name").alias("name")
+    )
+    replayed = (
+        snap.join(winner.select("id"), "id", "left_anti").unionByName(ups)
+    )
+    batch_next = apply_cdc(
+        snap, spark.createDataFrame(b1 + b2, schema)
+    )
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, batch_next.collect())
+    )
