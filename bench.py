@@ -167,6 +167,10 @@ HEADLINE_QUERIES = (
     "interval_overlap_join",
     "burst_detect",
     "apply_cdc",
+    "approx_quantiles",
+    "char_entropy",
+    "pmi_collocations",
+    "equidepth_histogram",
 )
 
 
