@@ -739,6 +739,17 @@ def q_apply_cdc(spark, sf):
     )
 
 
+def q_corpus_shuffle(spark, sf):
+    """Deterministic training-order shuffle: md5 order key + md5 shard
+    assignment, row_number within shard — byte-identical order on any
+    cluster size."""
+    from dandi_s3_log_parser_spark.operators.curation import corpus_shuffle
+
+    return corpus_shuffle(
+        _load(spark, sf, "documents"), n_shards=8, salt="shuffle-v1"
+    )
+
+
 def q_pmi_collocations(spark, sf):
     """Top-50 bigram collocations by PMI (pairs seen >=5 times)."""
     from dandi_s3_log_parser_spark.operators.curation import pmi_collocations
@@ -1759,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "apply_cdc": q_apply_cdc,
         "equidepth_histogram": q_equidepth_histogram,
+        "corpus_shuffle": q_corpus_shuffle,
         "sessionize": q_sessionize,
     }
 
@@ -3616,6 +3628,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal
             FROM latest WHERE op = 'U'
             ORDER BY c_custkey
+        """,
+        # corpus_shuffle: identical md5 draws (DuckDB md5 == Spark md5,
+        # lowercase hex; hex-prefix parsed via 0x-cast as elsewhere)
+        # and the identical shard-partitioned row_number
+        "corpus_shuffle": """
+            WITH k AS (
+                SELECT doc_id,
+                       md5(concat('order|shuffle-v1|',
+                           CAST(doc_id AS VARCHAR))) AS ok,
+                       CAST(concat('0x', substr(
+                           md5(concat('shard|shuffle-v1|',
+                               CAST(doc_id AS VARCHAR))), 1, 4))
+                           AS INTEGER) % 8 AS shard
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(shard AS INTEGER) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY ok ASC, doc_id ASC
+                   ) AS BIGINT) AS pos
+            FROM k
         """,
         # equidepth_histogram: identical cutpoint-counting bucket rule
         # (bucket = #cutpoints strictly below the value) over the same

@@ -171,6 +171,7 @@ HEADLINE_QUERIES = (
     "char_entropy",
     "pmi_collocations",
     "equidepth_histogram",
+    "corpus_shuffle",
 )
 
 

@@ -576,6 +576,73 @@ def unigram_logprob(
 
 
 # ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (training-order shard assignment)
+# ---------------------------------------------------------------------------
+
+
+def corpus_shuffle(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Assign every document a deterministic global training order:
+    a shard id plus a position within the shard — the shuffle step
+    between curation and tokenization that decides the order examples
+    are seen during training.
+
+    A real random shuffle of a 100 TB corpus is a full-data exchange
+    with RNG state that differs run to run; this is the standard
+    hash-shuffle replacement: ``order_key = md5('order|'salt'|'id)``
+    is a reproducible uniform draw, ``shard = hex(md5('shard|'...))
+    mod n_shards`` an independent uniform shard assignment, and the
+    training order is shard-major, ``order_key``-ascending within a
+    shard.  A pure function of (id, salt, n_shards): re-running on any
+    cluster size or partitioning yields the byte-identical order, and
+    two trainers reading the same shard list see the same sequence.
+
+    Scale shape: one projection (two md5s per row) plus ONE
+    ``row_number`` window partitioned by shard.  Parallelism equals
+    ``n_shards`` — at corpus scale shard counts are in the thousands
+    (a shard ~ a training file), so every executor gets work, and the
+    md5 draw makes shard sizes uniform (no skew).  Do not call with
+    ``n_shards=1`` on a large corpus: that is a global sort by design.
+
+    Returns ``(id_col, shard, pos)`` — ``pos`` is 1-based within the
+    shard.
+    """
+    order_key = F.md5(
+        F.concat(F.lit(f"order|{salt}|"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"shard|{salt}|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % n_shards
+    )
+    keyed = docs.select(
+        F.col(id_col), shard.alias("shard"), order_key.alias("_ok")
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("_ok"), F.asc(id_col))
+    return keyed.select(
+        id_col,
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
 

@@ -1101,3 +1101,39 @@ def test_equidepth_histogram_plan_no_sort_no_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_shuffle_deterministic_total_and_dense(spark):
+    from dandi_s3_log_parser_spark.operators.curation import corpus_shuffle
+
+    d = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = corpus_shuffle(d, n_shards=4).collect()
+    # total: every doc assigned exactly once
+    assert len(out) == 500
+    assert len({r["doc_id"] for r in out}) == 500
+    # positions are a dense 1..k range per shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # md5 draw -> roughly uniform shards (loose bound)
+    assert min(len(v) for v in by_shard.values()) > 60
+    # deterministic across partitionings: same (doc_id, shard, pos)
+    again = corpus_shuffle(
+        d.repartition(13), n_shards=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_corpus_shuffle_salt_changes_order_not_totality(spark):
+    from dandi_s3_log_parser_spark.operators.curation import corpus_shuffle
+
+    d = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         corpus_shuffle(d, n_shards=4, salt="epoch-0").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         corpus_shuffle(d, n_shards=4, salt="epoch-1").collect()}
+    assert set(a) == set(b)  # same docs either way
+    assert a != b  # a different salt reshuffles
