@@ -750,6 +750,24 @@ def q_corpus_shuffle(spark, sf):
     )
 
 
+def q_quality_classifier(spark, sf):
+    """Hashed-feature linear quality classifier inference (fastText
+    shape): md5 hashing trick into 4096 buckets, broadcast weight
+    join, per-doc mean -> sigmoid.  Weights are the deterministic
+    md5-derived synthetic table (a real deployment swaps in trained
+    weights with the same schema)."""
+    from dandi_s3_log_parser_spark.operators.classify import (
+        hash_weights,
+        linear_quality_score,
+    )
+
+    return linear_quality_score(
+        _load(spark, sf, "documents"),
+        hash_weights(spark, 4096),
+        n_buckets=4096,
+    )
+
+
 def q_pmi_collocations(spark, sf):
     """Top-50 bigram collocations by PMI (pairs seen >=5 times)."""
     from dandi_s3_log_parser_spark.operators.curation import pmi_collocations
@@ -1771,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_cdc": q_apply_cdc,
         "equidepth_histogram": q_equidepth_histogram,
         "corpus_shuffle": q_corpus_shuffle,
+        "quality_classifier": q_quality_classifier,
         "sessionize": q_sessionize,
     }
 
@@ -3628,6 +3647,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal
             FROM latest WHERE op = 'U'
             ORDER BY c_custkey
+        """,
+        # quality_classifier: identical md5 hashing trick (8-hex bucket,
+        # 6-hex weight draw), identical left-join-0 + mean -> sigmoid;
+        # the mean is rounded BEFORE the sigmoid in both engines so the
+        # logistic runs on the identical 4-dp double
+        "quality_classifier": f"""
+            WITH w AS (
+                SELECT CAST(b AS BIGINT) AS bucket,
+                       CAST(concat('0x', substr(md5(concat('w|',
+                           CAST(b AS VARCHAR))), 1, 6)) AS BIGINT)
+                           / 16777216.0 * 2 - 1 AS weight
+                FROM range(4096) t(b)
+            ), toks AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(x), 1, 8))
+                           AS BIGINT) % 4096 AS bucket
+                FROM documents, unnest({toks_lower}) AS u(x)
+            ), s AS (
+                SELECT toks.doc_id,
+                       count(*) AS n_tokens,
+                       avg(coalesce(w.weight, 0.0)) AS mw
+                FROM toks LEFT JOIN w USING (bucket)
+                GROUP BY toks.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(coalesce(s.mw, 0.0), 4) + 0.0 AS mean_w,
+                   round(1.0 / (1.0 + exp(
+                       -round(coalesce(s.mw, 0.0), 4))), 4) AS score
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # corpus_shuffle: identical md5 draws (DuckDB md5 == Spark md5,
         # lowercase hex; hex-prefix parsed via 0x-cast as elsewhere)

@@ -172,6 +172,7 @@ HEADLINE_QUERIES = (
     "pmi_collocations",
     "equidepth_histogram",
     "corpus_shuffle",
+    "quality_classifier",
 )
 
 
