@@ -750,6 +750,14 @@ def q_corpus_shuffle(spark, sf):
     )
 
 
+def q_bigram_logprob(spark, sf):
+    """Interpolated corpus bigram-LM perplexity proxy (lam=0.75 so
+    1-lam is FP-exact in both engines)."""
+    from dandi_s3_log_parser_spark.operators.curation import bigram_logprob
+
+    return bigram_logprob(_load(spark, sf, "documents"), lam=0.75)
+
+
 def q_quality_classifier(spark, sf):
     """Hashed-feature linear quality classifier inference (fastText
     shape): md5 hashing trick into 4096 buckets, broadcast weight
@@ -1790,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": q_equidepth_histogram,
         "corpus_shuffle": q_corpus_shuffle,
         "quality_classifier": q_quality_classifier,
+        "bigram_logprob": q_bigram_logprob,
         "sessionize": q_sessionize,
     }
 
@@ -3647,6 +3656,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal
             FROM latest WHERE op = 'U'
             ORDER BY c_custkey
+        """,
+        # bigram_logprob: identical tokenization, bigram construction,
+        # and Jelinek-Mercer interpolation (0.75*c12/c1 + 0.25*c2/N,
+        # same left-to-right FP association); avg rounded to 4 dp; NULL
+        # nll for <2-token docs in both engines
+        "bigram_logprob": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''
+                       ) AS words
+                FROM documents
+            ), uc AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(words) AS w FROM d) GROUP BY w
+            ), nu AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uc
+            ), bgi AS (
+                SELECT doc_id, words,
+                       unnest(generate_series(1, len(words) - 1)) AS i
+                FROM d
+            ), inst AS (
+                SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+                FROM bgi
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12
+                FROM inst GROUP BY w1, w2
+            ), s AS (
+                SELECT inst.doc_id,
+                       count(*) AS nb,
+                       avg(-ln(
+                           0.75 * bi.c12 / ca.c + 0.25 * cb.c / nu.n_uni
+                       )) AS nll
+                FROM inst
+                JOIN bi USING (w1, w2)
+                JOIN uc ca ON ca.w = inst.w1
+                JOIN uc cb ON cb.w = inst.w2
+                CROSS JOIN nu
+                GROUP BY inst.doc_id
+            )
+            SELECT doc.doc_id,
+                   CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+                   round(s.nll, 4) AS nll
+            FROM documents doc LEFT JOIN s USING (doc_id)
         """,
         # quality_classifier: identical md5 hashing trick (8-hex bucket,
         # 6-hex weight draw), identical left-join-0 + mean -> sigmoid;

@@ -173,6 +173,7 @@ HEADLINE_QUERIES = (
     "equidepth_histogram",
     "corpus_shuffle",
     "quality_classifier",
+    "bigram_logprob",
 )
 
 

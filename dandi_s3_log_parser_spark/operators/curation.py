@@ -575,6 +575,88 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    ndp: int = 4,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an interpolated
+    corpus bigram language model — the next rung above
+    ``unigram_logprob`` toward the 5-gram KenLM score CCNet actually
+    buckets pages by.  ``p(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) *
+    c(w2)/N`` (Jelinek-Mercer interpolation with the unigram model, so
+    every bigram has nonzero probability); the LM is the corpus itself,
+    no external model file.
+
+    Returns ``(id, n_bigrams, nll)`` — TOTAL: documents with fewer than
+    two tokens keep a row with ``n_bigrams = 0`` and ``nll`` NULL (a
+    bigram score is undefined there; NULL forces the caller to decide
+    rather than a fake neutral value).  ``nll`` is the mean of
+    ``-ln p`` over the document's bigram instances, rounded to ``ndp``
+    (summation-order jitter is far inside the rounding).
+
+    Scale shape (10^12 docs): tokenization runs once per document
+    (native ``zip_with``/``slice`` bigram construction — no self-join
+    on positions); corpus counts are word-count-shaped aggregates with
+    map-side combine; scoring is three hash equi-joins of the narrow
+    ``(id, w1, w2)`` stream against the bigram and unigram count
+    tables.  At web scale those tables are ~10^8-10^9 rows — joinable,
+    NOT broadcastable; the classic deployment trick (prune the model
+    to a broadcastable top-V vocab + top-P pairs, everything else
+    falls to the backoff term) changes only the two count inputs, not
+    this plan.  The grand total rides a one-row broadcast cross join.
+    """
+    from ..operators.dedup import word_tokens
+
+    if not (0.0 < lam < 1.0):
+        raise ValueError("lam must be in (0, 1)")
+    toks_arr = word_tokens(F.col(text_col))
+    n = F.size(toks_arr)
+    bg = F.zip_with(
+        F.slice(toks_arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks_arr, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    uni = (
+        docs.select(F.explode(toks_arr).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("_n"))
+    bi = (
+        docs.select(F.explode(bg).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    # explode_outer keeps 0/1-token docs as a null-bigram row, so
+    # totality needs no restore join (nulls never match the joins and
+    # avg skips them)
+    inst = docs.select(
+        F.col(id_col), F.explode_outer(bg).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("_c2"))
+    p = (
+        F.lit(lam) * F.col("c12") / F.col("_c1")
+        + F.lit(1.0 - lam) * F.col("_c2") / F.col("_n")
+    )
+    return (
+        inst.join(bi, ["w1", "w2"], "left")
+        .join(ca, "w1", "left")
+        .join(cb, "w2", "left")
+        .crossJoin(F.broadcast(n_uni))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("w1")).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), ndp).alias("nll"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic corpus shuffle (training-order shard assignment)
 # ---------------------------------------------------------------------------

@@ -1137,3 +1137,34 @@ def test_corpus_shuffle_salt_changes_order_not_totality(spark):
          corpus_shuffle(d, n_shards=4, salt="epoch-1").collect()}
     assert set(a) == set(b)  # same docs either way
     assert a != b  # a different salt reshuffles
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from dandi_s3_log_parser_spark.operators.curation import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bigram_logprob(docs, lam=0.75).collect()
+    }
+    # corpus: uni a:3 b:1 N=4; bigrams (a,b):1 (b,a):1
+    # doc 1: p(b|a)=.75*1/3+.25*1/4=.3125  p(a|b)=.75*1/1+.25*3/4=.9375
+    expect = round((-math.log(0.3125) - math.log(0.9375)) / 2, 4)
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["nll"] == pytest.approx(expect, abs=1e-9)
+    # total operator: <2-token docs kept with NULL nll
+    for d in (2, 3):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["nll"] is None
+
+
+def test_bigram_logprob_rejects_bad_lambda(spark):
+    from dandi_s3_log_parser_spark.operators.curation import bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bigram_logprob(docs, lam=1.0)
