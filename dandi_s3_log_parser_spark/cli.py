@@ -210,9 +210,28 @@ def cmd_curate(args) -> int:
         kept = kept.drop("text").join(
             lines.select("doc_id", "text"), "doc_id"
         )
-    kept.write.mode("overwrite").parquet(args.out)
+    if args.shards:
+        from .operators.curation import corpus_shuffle
+
+        order = corpus_shuffle(
+            kept, n_shards=args.shards, salt=args.shuffle_salt
+        )
+        # one task per shard (repartition ON the shard value), rows
+        # sorted into training order within it -> each shard=N/ dir
+        # holds one file whose row order IS the training order
+        (
+            kept.join(order, "doc_id")
+            .repartition(args.shards, F.col("shard"))
+            .sortWithinPartitions("shard", "pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(args.out)
+        )
+    else:
+        kept.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
-    print(f"curate: wrote {n} curated docs to {args.out}")
+    shard_note = f" in {args.shards} shards" if args.shards else ""
+    print(f"curate: wrote {n} curated docs to {args.out}{shard_note}")
     return 0
 
 
@@ -353,6 +372,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(longest first, ties to lowest id)")
     c.add_argument("--line-df-limit", type=int, default=None,
                    help="strip lines occurring in more than this many docs")
+    c.add_argument("--shards", type=int, default=None,
+                   help="write the output as this many deterministic "
+                        "training shards (shard=N/ dirs, rows in shuffled "
+                        "training order) instead of flat parquet")
+    c.add_argument("--shuffle-salt", default="shuffle-v1",
+                   help="salt for the deterministic shard shuffle; change "
+                        "it to reshuffle (e.g. per epoch)")
     c.set_defaults(fn=cmd_curate)
 
     rp = sub.add_parser(

@@ -203,3 +203,42 @@ def test_curate_cli_null_lang_report_matches_output(tmp_path):
         f"SELECT count(*) FROM '{out}/*.parquet' WHERE lang IS NULL"
     ).fetchone()[0]
     assert nulls == 10
+
+
+@pytest.mark.slow
+def test_curate_cli_writes_training_shards(tmp_path):
+    """--shards writes shard=N/ dirs whose row order is the
+    deterministic corpus_shuffle training order."""
+    out = tmp_path / "sharded"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dandi_s3_log_parser_spark.cli",
+            "--local-cores", "4",
+            "curate",
+            "--documents", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--min-chars", "0",
+            "--shards", "4",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "in 4 shards" in r.stdout
+    shard_dirs = sorted(p.name for p in out.iterdir() if p.name.startswith("shard="))
+    assert shard_dirs == [f"shard={i}" for i in range(4)]
+    import duckdb
+
+    # every shard: exactly one file, pos dense from 1, file row order
+    # (parquet preserves it) == training order
+    for i in range(4):
+        files = list((out / f"shard={i}").glob("*.parquet"))
+        assert len(files) == 1, files
+        rows = duckdb.sql(
+            f"SELECT pos FROM read_parquet('{files[0]}')"
+        ).fetchall()
+        assert [p for (p,) in rows] == sorted(p for (p,) in rows)
+        assert rows[0][0] == 1 and len(rows) == rows[-1][0]
+    total = duckdb.sql(
+        f"SELECT count(DISTINCT doc_id), count(*) FROM read_parquet('{out}/*/*.parquet')"
+    ).fetchone()
+    assert total[0] == total[1] == 500  # total: min-chars 0 keeps all
