@@ -750,6 +750,21 @@ def q_corpus_shuffle(spark, sf):
     )
 
 
+def q_cms_heavy_hitters(spark, sf):
+    """Count-min sketch over document token instances, self-checked on
+    the exact top-30 tokens (md5-deterministic sketch: the oracle
+    recomputes the identical estimates, not just a pass flag)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        cms_frequency_check,
+    )
+    from dandi_s3_log_parser_spark.operators.dedup import word_tokens
+
+    inst = _load(spark, sf, "documents").select(
+        F.explode(word_tokens(F.col("text"))).alias("tok")
+    )
+    return cms_frequency_check(inst, "tok", width=512, depth=4, topk=30)
+
+
 def q_bigram_logprob(spark, sf):
     """Interpolated corpus bigram-LM perplexity proxy (lam=0.75 so
     1-lam is FP-exact in both engines)."""
@@ -1799,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "quality_classifier": q_quality_classifier,
         "bigram_logprob": q_bigram_logprob,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "sessionize": q_sessionize,
     }
 
@@ -3656,6 +3672,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal
             FROM latest WHERE op = 'U'
             ORDER BY c_custkey
+        """,
+        # cms_heavy_hitters: the sketch is md5-deterministic, so the
+        # oracle rebuilds the IDENTICAL depth*width table and the value
+        # hash covers the estimates themselves
+        "cms_heavy_hitters": """
+            WITH inst AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''
+                       )) AS v
+                FROM documents
+            ), hashed AS (
+                SELECT v, t.d,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(t.d AS VARCHAR), '|', v)), 1, 8))
+                           AS BIGINT) % 512 AS b
+                FROM inst, unnest([0, 1, 2, 3]) AS t(d)
+            ), sketch AS (
+                SELECT d, b, count(*) AS c FROM hashed GROUP BY d, b
+            ), top AS (
+                SELECT v, count(*) AS exact_count
+                FROM inst GROUP BY v
+                ORDER BY exact_count DESC, v ASC LIMIT 30
+            ), probes AS (
+                SELECT top.v, top.exact_count, t.d,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(t.d AS VARCHAR), '|', top.v)), 1, 8))
+                           AS BIGINT) % 512 AS b
+                FROM top, unnest([0, 1, 2, 3]) AS t(d)
+            )
+            SELECT probes.v AS value,
+                   CAST(probes.exact_count AS BIGINT) AS exact_count,
+                   CAST(min(sketch.c) AS BIGINT) AS cms_estimate,
+                   min(sketch.c) >= probes.exact_count AS ge_ok
+            FROM probes JOIN sketch USING (d, b)
+            GROUP BY probes.v, probes.exact_count
+            ORDER BY exact_count DESC, value ASC
         """,
         # bigram_logprob: identical tokenization, bigram construction,
         # and Jelinek-Mercer interpolation (0.75*c12/c1 + 0.25*c2/N,

@@ -174,6 +174,7 @@ HEADLINE_QUERIES = (
     "corpus_shuffle",
     "quality_classifier",
     "bigram_logprob",
+    "cms_heavy_hitters",
 )
 
 

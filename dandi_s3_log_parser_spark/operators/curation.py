@@ -872,6 +872,92 @@ def approx_distinct_check(
     )
 
 
+def cms_frequency_check(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    topk: int = 20,
+) -> DataFrame:
+    """Count-min sketch frequency estimation, self-checked against the
+    exact counts of the exact top-``topk`` values — the third sketch a
+    100 TB corpus-health report needs (HLL -> distincts, GK ->
+    quantiles, CMS -> per-value frequencies / heavy hitters).
+
+    The sketch is ``depth`` independent md5 hash rows of ``width``
+    buckets; an instance increments one bucket per row, and a value's
+    estimate is the MIN over its ``depth`` buckets.  Everything is a
+    pure function of the data (md5, no RNG), so the sketch — and the
+    estimates — are byte-reproducible across runs, engines, and
+    cluster sizes; the DuckDB oracle recomputes the identical sketch
+    and the value hash covers the estimates themselves, not just a
+    pass/fail flag.
+
+    Returns one row per exact-top-k value (count desc, value asc — a
+    reproducible cut): ``(value, exact_count, cms_estimate, ge_ok)``
+    where ``ge_ok`` pins the CMS invariant ``estimate >= exact`` (a
+    sketch can only overcount).
+
+    Scale shape: the sketch build is a word-count-shaped aggregate on
+    ``(hash_row, bucket)`` — map-side combine collapses each partition
+    to at most ``depth * width`` rows, so the exchange is FIXED-size
+    regardless of corpus size, and the finished sketch (``depth *
+    width`` rows) broadcasts everywhere.  The exact top-k branch
+    exists for the self-check; a production heavy-hitter query keeps
+    only the sketch + candidate probes.
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError("width and depth must be positive")
+    v = F.col(value_col).cast("string")
+    inst = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(depth - 1))
+    ).alias("_d")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("_d").cast("string"), F.lit("|"), F.col("_v")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    sketch = (
+        inst.select("_v", rows)
+        .select("_d", bucket.alias("_b"))
+        .groupBy("_d", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    top = (
+        inst.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("_v"))
+        .limit(topk)
+    )
+    probes = top.select("_v", "exact_count", rows).select(
+        "_v", "exact_count", "_d", bucket.alias("_b")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["_d", "_b"])
+        .groupBy("_v", "exact_count")
+        .agg(F.min("_c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("_v").alias("value"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("ge_ok"),
+    ).orderBy(F.desc("exact_count"), F.asc("value"))
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window chunking (context-window prep for training / retrieval)
 # ---------------------------------------------------------------------------

@@ -1168,3 +1168,49 @@ def test_bigram_logprob_rejects_bad_lambda(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bigram_logprob(docs, lam=1.0)
+
+
+def test_cms_frequency_check_hand_computed(spark):
+    import hashlib
+
+    from dandi_s3_log_parser_spark.operators.curation import (
+        cms_frequency_check,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "v string"
+    )
+    width, depth = 16, 3
+    got = cms_frequency_check(df, "v", width=width, depth=depth, topk=3).collect()
+    assert [(r["value"], r["exact_count"]) for r in got] == [
+        ("a", 5), ("b", 3), ("c", 1)
+    ]
+    # recompute the sketch by hand: estimate = min over rows of the
+    # bucket counts that value's instances (plus any colliders) hit
+    def bucket(d, v):
+        return int(
+            hashlib.md5(f"{d}|{v}".encode()).hexdigest()[:8], 16
+        ) % width
+
+    counts = {"a": 5, "b": 3, "c": 1}
+    sketch = {}
+    for v, c in counts.items():
+        for d in range(depth):
+            k = (d, bucket(d, v))
+            sketch[k] = sketch.get(k, 0) + c
+    for r in got:
+        expect = min(
+            sketch[(d, bucket(d, r["value"]))] for d in range(depth)
+        )
+        assert r["cms_estimate"] == expect
+        assert r["ge_ok"] is True
+
+
+def test_cms_frequency_check_rejects_bad_dims(spark):
+    from dandi_s3_log_parser_spark.operators.curation import (
+        cms_frequency_check,
+    )
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        cms_frequency_check(df, "v", width=0)
