@@ -750,6 +750,17 @@ def q_corpus_shuffle(spark, sf):
     )
 
 
+def q_pq_assign(spark, sf):
+    """Product-quantization codes: 4 subspaces x 16 dims, 8 centroids
+    each, 2 Lloyd iterations — deterministic end to end (no RNG), so
+    the oracle retrains the identical codebooks."""
+    from dandi_s3_log_parser_spark.operators.similarity import pq_assign
+
+    return pq_assign(
+        _load(spark, sf, "embeddings"), m=4, k=8, iters=2
+    )
+
+
 def q_cms_heavy_hitters(spark, sf):
     """Count-min sketch over document token instances, self-checked on
     the exact top-30 tokens (md5-deterministic sketch: the oracle
@@ -1815,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bigram_logprob": q_bigram_logprob,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "pq_assign": q_pq_assign,
         "sessionize": q_sessionize,
     }
 
@@ -1889,62 +1901,108 @@ def _pagerank_oracle_sql(iters: int = 4, ndp: int = 8) -> str:
     )
 
 
-def _kmeans_oracle_sql(
-    k: int = 8, iters: int = 2, ndp: int = 6, tail: str | None = None
-) -> str:
-    """Unrolled Lloyd's iterations mirroring kmeans_assign exactly:
-    same init (k smallest ids), same rounded-distance argmin with
-    cluster-asc tie-break, same exact DECIMAL(25,10) centroid sums,
-    same empty-cluster carry-forward (COALESCE to the prior centroid).
-    Distance uses the identical expression order
-    ``(v.v - 2*v.c) + c.c`` so double arithmetic agrees bitwise."""
+def _kmeans_ctes(
+    k: int,
+    iters: int,
+    ndp: int,
+    prefix: str = "",
+    vec_expr: str = "embedding::DOUBLE[]",
+) -> list[str]:
+    """CTE chain for one unrolled Lloyd's run mirroring kmeans_assign
+    exactly: same init (k smallest ids), same rounded-distance argmin
+    with cluster-asc tie-break, same exact DECIMAL(25,10) centroid
+    sums, same empty-cluster carry-forward (COALESCE to the prior
+    centroid).  Distance uses the identical expression order
+    ``(v.v - 2*v.c) + c.c`` so double arithmetic agrees bitwise.
+    ``prefix`` namespaces the CTEs (several chains can share one
+    WITH — the PQ oracle runs one chain per subspace); ``vec_expr``
+    selects the (possibly sliced) vector.  The final assignment CTE
+    is ``{prefix}afinal``."""
+    p = prefix
 
     def assign(name: str, cents: str) -> str:
-        return f"""{name} AS (
+        return f"""{p}{name} AS (
             SELECT vec_id, cluster, dist FROM (
                 SELECT e.vec_id, c.c AS cluster,
                        round(list_dot_product(e.v, e.v)
                              - 2 * list_dot_product(e.v, c.cv)
                              + list_dot_product(c.cv, c.cv), {ndp}) AS dist
-                FROM e CROSS JOIN {cents} c)
+                FROM {p}e e CROSS JOIN {cents} c)
             QUALIFY row_number() OVER (PARTITION BY vec_id
                 ORDER BY dist ASC, cluster ASC) = 1
         )"""
 
     def update(mname: str, cname: str, aname: str, prev: str) -> str:
-        return f"""{mname} AS (
+        return f"""{p}{mname} AS (
             SELECT a.cluster,
                    d.d - 1 AS dim,
                    CAST(sum(CAST(v[d.d] AS DECIMAL(25,10))) AS DOUBLE)
                        / count(*) AS cd
-            FROM {aname} a JOIN e USING (vec_id),
+            FROM {p}{aname} a JOIN {p}e USING (vec_id),
                  unnest(range(1, len(v) + 1)) AS d(d)
             GROUP BY a.cluster, d.d
         ), {cname} AS (
-            SELECT p.c, COALESCE(lst.cv, p.cv) AS cv
-            FROM {prev} p LEFT JOIN (
+            SELECT pr.c, COALESCE(lst.cv, pr.cv) AS cv
+            FROM {prev} pr LEFT JOIN (
                 SELECT cluster AS c, list(cd ORDER BY dim) AS cv
-                FROM {mname} GROUP BY cluster) lst USING (c)
+                FROM {p}{mname} GROUP BY cluster) lst USING (c)
         )"""
 
     ctes = [
-        """e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ), c0 AS (
+        f"""{p}e AS (
+            SELECT vec_id, {vec_expr} AS v FROM embeddings
+        ), {p}c0 AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                         AS BIGINT) AS c, v AS cv
-            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT %d)
-        )""" % k
+            FROM (SELECT vec_id, v FROM {p}e ORDER BY vec_id LIMIT {k})
+        )"""
     ]
-    cents = "c0"
+    cents = f"{p}c0"
     for i in range(iters):
         ctes.append(assign(f"a{i}", cents))
-        ctes.append(update(f"m{i}", f"c{i + 1}", f"a{i}", cents))
-        cents = f"c{i + 1}"
+        ctes.append(update(f"m{i}", f"{p}c{i + 1}", f"a{i}", cents))
+        cents = f"{p}c{i + 1}"
     ctes.append(assign("afinal", cents))
+    return ctes
+
+
+def _kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, ndp: int = 6, tail: str | None = None
+) -> str:
+    """See _kmeans_ctes; single-chain wrapper kept for the kmeans /
+    semdedup oracles."""
+    ctes = _kmeans_ctes(k, iters, ndp)
     if tail is None:
         tail = "\nSELECT vec_id, cluster, dist FROM afinal ORDER BY vec_id"
     return "WITH " + ",\n".join(ctes) + tail
+
+
+def _pq_oracle_sql(
+    m: int = 4, dsub: int = 16, k: int = 8, iters: int = 2, ndp: int = 6
+) -> str:
+    """PQ oracle: one independent kmeans chain per subspace over the
+    sliced vector (DuckDB 1-based inclusive slice == Spark
+    F.slice(start, length)), joined on vec_id; qerr sums the subspace
+    dists left-to-right exactly like the Spark projection."""
+    ctes: list[str] = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        ctes.extend(
+            _kmeans_ctes(
+                k, iters, ndp, prefix=f"s{j}",
+                vec_expr=f"(embedding::DOUBLE[])[{lo}:{hi}]",
+            )
+        )
+    joins = "s0afinal s0" + "".join(
+        f" JOIN s{j}afinal s{j} USING (vec_id)" for j in range(1, m)
+    )
+    codes = ", ".join(f"s{j}.cluster AS code_{j}" for j in range(m))
+    err = " + ".join(f"s{j}.dist" for j in range(m))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, {codes}, round({err}, {ndp}) AS qerr"
+        + f"\nFROM {joins}"
+    )
 
 # 60 bit-vote terms rebuilding the SimHash in SQL (one per hash bit):
 # bit i of the simhash is 1 iff more token hashes have bit i set than not
@@ -2968,6 +3026,9 @@ def oracle_sql() -> dict[str, str]:
         # k-means: both Lloyd's iterations unrolled in SQL (see
         # _kmeans_oracle_sql for the exact-arithmetic contract)
         "kmeans_assign": _kmeans_oracle_sql(k=8, iters=2),
+        # pq_assign: per-subspace retrained codebooks over sliced
+        # vectors; see _pq_oracle_sql
+        "pq_assign": _pq_oracle_sql(m=4, dsub=16, k=8, iters=2),
         # SemDeDup: replay the clustering, then every intra-cell cosine
         "semdedup_pairs": _kmeans_oracle_sql(
             k=8,

@@ -175,6 +175,7 @@ HEADLINE_QUERIES = (
     "quality_classifier",
     "bigram_logprob",
     "cms_heavy_hitters",
+    "pq_assign",
 )
 
 

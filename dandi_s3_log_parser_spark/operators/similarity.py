@@ -663,3 +663,70 @@ def semdedup_keep(
             ).alias("keep"),
         )
     )
+
+
+def pq_assign(
+    emb: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndp: int = 6,
+) -> DataFrame:
+    """Product quantization codebook assignment (Jégou et al. 2011,
+    public knowledge) — the compression step of IVF-PQ, the index
+    layout every billion-vector ANN deployment actually ships: split
+    each vector into ``m`` contiguous subspaces, train an independent
+    ``k``-centroid codebook per subspace, and store each vector as its
+    ``m`` nearest-centroid codes (``m * log2(k)`` bits instead of
+    ``dim * 64``).
+
+    Training and assignment REUSE ``kmeans_assign`` verbatim per
+    subspace (same no-RNG init on the k smallest ids, same
+    decimal-exact centroid means, same rounded-distance argmin), so
+    the whole construction inherits its bit-reproducibility across
+    runs, partitionings, and engines.
+
+    Returns one row per vector: ``(id_col, code_0 .. code_{m-1},
+    qerr)`` — flat code columns (not an array) so downstream
+    group-bys/joins on individual subspace codes stay native, and
+    ``qerr`` is the summed per-subspace squared quantization error
+    (the number PQ tuning sweeps over when choosing m and k).
+
+    Scale shape (10^9 vectors): per-subspace training shuffles carry
+    (cluster, dim) partial sums — driver-sized; assignment is a
+    broadcast-literal projection per subspace, and the ``m`` code
+    tables re-converge with ``id_col``-keyed joins of narrow (id,
+    code, dist) rows.  Vector payloads are never shuffled.
+    """
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty embedding input")
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    out = None
+    err = None
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
+        )
+        a = kmeans_assign(
+            sub, k=k, iters=iters, id_col=id_col, vec_col="_sub", ndp=ndp
+        ).select(
+            id_col,
+            F.col("cluster").alias(f"code_{j}"),
+            F.col("dist").alias(f"_d{j}"),
+        )
+        out = a if out is None else out.join(a, id_col)
+        term = F.col(f"_d{j}")
+        err = term if err is None else err + term
+    return out.select(
+        id_col,
+        *[F.col(f"code_{j}") for j in range(m)],
+        F.round(err, ndp).alias("qerr"),
+    )

@@ -543,3 +543,50 @@ def test_incremental_dedup_caps_degenerate_corpus_buckets(spark):
         new, corpus, threshold=0.5, max_bucket_size=64
     ).first()
     assert r2["is_dup"] and r2["dup_of"] == 0
+
+
+def test_pq_assign_codes_deterministic_and_bounded(spark):
+    import random
+
+    from dandi_s3_log_parser_spark.operators.similarity import pq_assign
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_assign(emb, m=2, k=4, iters=2).collect()
+    assert len(out) == 40
+    for r in out:
+        assert 0 <= r["code_0"] < 4 and 0 <= r["code_1"] < 4
+        assert r["qerr"] >= 0.0
+    # deterministic under repartitioning
+    again = pq_assign(
+        emb.repartition(7), m=2, k=4, iters=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # subspace codes match a kmeans run on the sliced vectors alone
+    from pyspark.sql import functions as F
+
+    from dandi_s3_log_parser_spark.operators.similarity import kmeans_assign
+
+    sub0 = emb.select("vec_id", F.slice("embedding", 1, 4).alias("_sub"))
+    solo = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(
+            sub0, k=4, iters=2, vec_col="_sub"
+        ).collect()
+    }
+    assert all(solo[r["vec_id"]] == r["code_0"] for r in out)
+
+
+def test_pq_assign_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from dandi_s3_log_parser_spark.operators.similarity import pq_assign
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 6)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        pq_assign(emb, m=4, k=2)
