@@ -761,6 +761,21 @@ def q_pq_assign(spark, sf):
     )
 
 
+def q_pq_adc_topk(spark, sf):
+    """PQ asymmetric-distance top-10 for queries vec_id<3 — unlike the
+    LSH/IVF ANN queries this one is deterministic end to end, so the
+    oracle recomputes codes, tables, distances, and ranks exactly."""
+    from dandi_s3_log_parser_spark.operators.similarity import pq_adc_topk
+
+    emb = _load(spark, sf, "embeddings")
+    return pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 3).withColumnRenamed(
+            "vec_id", "query_id"
+        ),
+        m=4, k=8, iters=2, topk=10,
+    )
+
+
 def q_cms_heavy_hitters(spark, sf):
     """Count-min sketch over document token instances, self-checked on
     the exact top-30 tokens (md5-deterministic sketch: the oracle
@@ -1827,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "pq_assign": q_pq_assign,
+        "pq_adc_topk": q_pq_adc_topk,
         "sessionize": q_sessionize,
     }
 
@@ -1964,6 +1980,71 @@ def _kmeans_ctes(
         cents = f"{p}c{i + 1}"
     ctes.append(assign("afinal", cents))
     return ctes
+
+
+def _pq_adc_oracle_sql(
+    m: int = 4,
+    dsub: int = 16,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 10,
+    ndp: int = 6,
+    n_queries: int = 3,
+) -> str:
+    """PQ-ADC oracle: retrains the per-subspace codebooks (same chains
+    as the pq_assign oracle), reassigns the corpus codes, rebuilds each
+    query's per-subspace distance table from the FINAL codebook CTEs
+    (``s{j}c{iters}``), and sums the table terms left-to-right exactly
+    like the Spark projection before the shared round."""
+    ctes: list[str] = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        ctes.extend(
+            _kmeans_ctes(
+                k, iters, ndp, prefix=f"s{j}",
+                vec_expr=f"(embedding::DOUBLE[])[{lo}:{hi}]",
+            )
+        )
+    ctes.append(
+        f"""qv AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+            FROM embeddings WHERE vec_id < {n_queries}
+        )"""
+    )
+    joins = "s0afinal s0" + "".join(
+        f" JOIN s{j}afinal s{j} USING (vec_id)" for j in range(1, m)
+    )
+    book_joins = "".join(
+        f" JOIN s{j}c{iters} b{j} ON b{j}.c = s{j}.cluster"
+        for j in range(m)
+    )
+    terms = " + ".join(
+        f"""(list_dot_product(q.q[{j * dsub + 1}:{(j + 1) * dsub}],
+                 q.q[{j * dsub + 1}:{(j + 1) * dsub}])
+             - 2 * list_dot_product(q.q[{j * dsub + 1}:{(j + 1) * dsub}],
+                                    b{j}.cv)
+             + list_dot_product(b{j}.cv, b{j}.cv))"""
+        for j in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+        scored AS (
+            SELECT q.query_id, s0.vec_id AS neighbor_id,
+                   round({terms}, {ndp}) AS adc_dist
+            FROM {joins}{book_joins}
+            CROSS JOIN qv q
+        )
+        SELECT query_id, neighbor_id, adc_dist, rank FROM (
+            SELECT query_id, neighbor_id, adc_dist,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, neighbor_id ASC)
+                       AS INTEGER) AS rank
+            FROM scored)
+        WHERE rank <= {topk}
+        ORDER BY query_id, rank
+        """
+    )
 
 
 def _kmeans_oracle_sql(
@@ -3029,6 +3110,9 @@ def oracle_sql() -> dict[str, str]:
         # pq_assign: per-subspace retrained codebooks over sliced
         # vectors; see _pq_oracle_sql
         "pq_assign": _pq_oracle_sql(m=4, dsub=16, k=8, iters=2),
+        # pq_adc_topk: deterministic end to end — full independent
+        # recompute of codebooks, codes, tables, distances, and ranks
+        "pq_adc_topk": _pq_adc_oracle_sql(m=4, dsub=16, k=8, iters=2),
         # SemDeDup: replay the clustering, then every intra-cell cosine
         "semdedup_pairs": _kmeans_oracle_sql(
             k=8,

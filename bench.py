@@ -176,6 +176,7 @@ HEADLINE_QUERIES = (
     "bigram_logprob",
     "cms_heavy_hitters",
     "pq_assign",
+    "pq_adc_topk",
 )
 
 

@@ -469,6 +469,78 @@ def kmeans_assign(
     pattern — the two driver collects per iteration are k*dim-sized,
     never fact-sized.  Assignment is a broadcast-literal projection.
     """
+    centroids = train_kmeans_centroids(
+        emb, k, iters, id_col=id_col, vec_col=vec_col, ndp=ndp
+    )
+    # set-semantics output, deliberately UNSORTED: a terminal global
+    # sort would run the plan twice (range-partitioner sampling pass +
+    # the sort itself); callers that need order sort the tiny result
+    return assign_to_centroids(
+        emb, centroids, id_col=id_col, vec_col=vec_col, ndp=ndp
+    ).select(id_col, "cluster", F.col("dist").alias("dist"))
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    cents: dict[int, list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndp: int = 6,
+) -> DataFrame:
+    """Nearest-centroid projection: ``(id, _v, cluster, dist)`` with
+    kmeans_assign's exact arithmetic contract (rounded squared-L2
+    argmin, lowest-index tie-break).
+
+    ||v||^2 is cluster-independent: fold it ONCE as a column instead
+    of k inlined copies, and ||c||^2 is a pure constant: sum it on the
+    driver (Python's left-to-right double sum is bit-identical to the
+    engines' sequential fold).  Together this shrinks the generated
+    code ~3x — with k unrolled distance expressions over dim-length
+    literal arrays, codegen size is the fixed cost every task (and the
+    JIT) pays.
+    """
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_vv"),
+    )
+    dists = [
+        F.round(
+            F.col("_vv")
+            - 2.0
+            * dot(
+                F.col("_v"), F.array(*[F.lit(x) for x in cents[i]])
+            )
+            + F.lit(sum(x * x for x in cents[i])),
+            ndp,
+        )
+        for i in sorted(cents)
+    ]
+    arr = F.array(*dists)
+    return base.select(
+        F.col(id_col),
+        F.col("_v"),
+        (F.array_position(arr, F.array_min(arr)) - 1)
+        .cast("long")
+        .alias("cluster"),
+        F.array_min(arr).alias("dist"),
+    )
+
+
+def train_kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndp: int = 6,
+) -> dict[int, list[float]]:
+    """Deterministic Lloyd's trainer backing kmeans_assign (and the
+    per-subspace PQ codebooks): k smallest-id init, decimal-exact
+    centroid means, empty-cluster carry-forward.  Returns the trained
+    ``{cluster: centroid}`` dict (k x dim doubles, driver-sized)."""
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1, iters >= 0; got k={k}, iters={iters}")
     init = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
@@ -477,45 +549,11 @@ def kmeans_assign(
     centroids: dict[int, list[float]] = {
         i: [float(x) for x in r[vec_col]] for i, r in enumerate(init)
     }
-
-    def assign(cents: dict[int, list[float]]) -> DataFrame:
-        # ||v||^2 is cluster-independent: fold it ONCE as a column
-        # instead of k inlined copies, and ||c||^2 is a pure constant:
-        # sum it on the driver (Python's left-to-right double sum is
-        # bit-identical to the engines' sequential fold).  Together
-        # this shrinks the generated code ~3x — with k unrolled
-        # distance expressions over dim-length literal arrays, codegen
-        # size is the fixed cost every task (and the JIT) pays.
-        base = emb.select(
-            F.col(id_col),
-            F.col(vec_col).alias("_v"),
-            dot(F.col(vec_col), F.col(vec_col)).alias("_vv"),
-        )
-        dists = [
-            F.round(
-                F.col("_vv")
-                - 2.0
-                * dot(
-                    F.col("_v"), F.array(*[F.lit(x) for x in cents[i]])
-                )
-                + F.lit(sum(x * x for x in cents[i])),
-                ndp,
-            )
-            for i in sorted(cents)
-        ]
-        arr = F.array(*dists)
-        return base.select(
-            F.col(id_col),
-            F.col("_v"),
-            (F.array_position(arr, F.array_min(arr)) - 1)
-            .cast("long")
-            .alias("cluster"),
-            F.array_min(arr).alias("dist"),
-        )
-
     for _ in range(iters):
         stats = (
-            assign(centroids)
+            assign_to_centroids(
+                emb, centroids, id_col=id_col, vec_col=vec_col, ndp=ndp
+            )
             .select("cluster", F.posexplode("_v").alias("dim", "_val"))
             .groupBy("cluster", "dim")
             .agg(
@@ -534,13 +572,7 @@ def kmeans_assign(
         centroids = {
             i: new.get(i, centroids[i]) for i in centroids
         }  # empty cluster keeps previous centroid
-
-    # set-semantics output, deliberately UNSORTED: a terminal global
-    # sort would run the plan twice (range-partitioner sampling pass +
-    # the sort itself); callers that need order sort the tiny result
-    return assign(centroids).select(
-        id_col, "cluster", F.col("dist").alias("dist")
-    )
+    return centroids
 
 
 def semdedup_pairs(
@@ -729,4 +761,152 @@ def pq_assign(
         id_col,
         *[F.col(f"code_{j}") for j in range(m)],
         F.round(err, ndp).alias("qerr"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    ndp: int = 6,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (the search half of IVF-PQ, Jégou
+    et al. 2011): corpus vectors are represented ONLY by their ``m``
+    subspace codes; a query precomputes one k-entry distance table per
+    subspace against the trained codebooks, and a corpus row's
+    approximate squared-L2 distance is ``m`` table lookups summed —
+    never a full-dimension dot product per candidate.
+
+    Codebooks come from ``train_kmeans_centroids`` per sliced subspace
+    (same deterministic contract as ``pq_assign``; the codes computed
+    here are bitwise-identical to its).  Codes are assigned in a
+    SINGLE projection (the slice/argmin expressions inline — no
+    per-subspace joins), and per-query tables are unrounded driver
+    doubles (Python's left-to-right fold is bit-identical to the
+    engines' sequential fold), so the summed distance rounds the same
+    everywhere and the oracle recomputes the whole query exactly.
+
+    Returns ``(query_id, neighbor_id, adc_dist, rank)`` — rank by
+    (adc_dist asc, neighbor_id asc), top ``topk`` per query.
+
+    Scale shape (10^9 corpus vectors): training and table-building
+    touch the driver with k*dim-sized data only; the corpus pass reads
+    each vector once, emits (id, m codes) — the compressed index a
+    real deployment PERSISTS and re-serves — and scoring is a
+    literal-table projection + per-query TakeOrdered-shaped window.
+    Queries ride the driver as literals (the few-queries ANN batch
+    convention shared with lsh/ivf_topk); a large query batch would
+    broadcast-join a table of tables instead.
+    """
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty embedding input")
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    books: list[dict[int, list[float]]] = []
+    for j in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
+        )
+        books.append(
+            train_kmeans_centroids(
+                sub, k, iters, id_col=id_col, vec_col="_sub", ndp=ndp
+            )
+        )
+
+    staged = embeddings.select(
+        F.col(id_col),
+        *[
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(f"_s{j}")
+            for j in range(m)
+        ],
+    )
+    staged = staged.select(
+        id_col,
+        *[F.col(f"_s{j}") for j in range(m)],
+        *[
+            dot(F.col(f"_s{j}"), F.col(f"_s{j}")).alias(f"_vv{j}")
+            for j in range(m)
+        ],
+    )
+
+    def code_col(j: int):
+        cents = books[j]
+        dists = [
+            F.round(
+                F.col(f"_vv{j}")
+                - 2.0
+                * dot(
+                    F.col(f"_s{j}"),
+                    F.array(*[F.lit(x) for x in cents[i]]),
+                )
+                + F.lit(sum(x * x for x in cents[i])),
+                ndp,
+            )
+            for i in sorted(cents)
+        ]
+        arr = F.array(*dists)
+        return (
+            (F.array_position(arr, F.array_min(arr)) - 1)
+            .cast("int")
+            .alias(f"code_{j}")
+        )
+
+    codes = staged.select(id_col, *[code_col(j) for j in range(m)])
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query input")
+
+    def dot_py(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    per_query = []
+    for qr in q_rows:
+        qv = [float(x) for x in qr["_qv"]]
+        adc = None
+        for j in range(m):
+            qsub = qv[j * dsub : (j + 1) * dsub]
+            qq = sum(x * x for x in qsub)
+            table = [
+                qq
+                - 2 * dot_py(qsub, books[j][i])
+                + sum(x * x for x in books[j][i])
+                for i in sorted(books[j])
+            ]
+            term = F.element_at(
+                F.array(*[F.lit(t) for t in table]),
+                F.col(f"code_{j}") + 1,
+            )
+            adc = term if adc is None else adc + term
+        per_query.append(
+            codes.select(
+                F.lit(qr["_qid"]).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.round(adc, ndp).alias("adc_dist"),
+            )
+        )
+    scored = per_query[0]
+    for p in per_query[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
     )

