@@ -761,6 +761,22 @@ def q_pq_assign(spark, sf):
     )
 
 
+def q_join_size_estimate(spark, sf):
+    """Pre-flight join diagnostics: exact orders-joins-lineitem output
+    cardinality on o_orderkey/l_orderkey + the 10 dominating keys."""
+    from dandi_s3_log_parser_spark.operators.diagnostics import (
+        join_size_estimate,
+    )
+
+    o = _load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = _load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    return join_size_estimate(o, li, "k", topn=10)
+
+
 def q_pq_adc_topk(spark, sf):
     """PQ asymmetric-distance top-10 for queries vec_id<3 — unlike the
     LSH/IVF ANN queries this one is deterministic end to end, so the
@@ -1843,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "pq_assign": q_pq_assign,
         "pq_adc_topk": q_pq_adc_topk,
+        "join_size_estimate": q_join_size_estimate,
         "sessionize": q_sessionize,
     }
 
@@ -3817,6 +3834,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal
             FROM latest WHERE op = 'U'
             ORDER BY c_custkey
+        """,
+        # join_size_estimate: exact cardinality decomposition
+        # sum(cA*cB) + top contributors; the cum_share triangle-join
+        # running sum mirrors the Spark formulation (sum of ROUNDED
+        # shares)
+        "join_size_estimate": """
+            WITH ca AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS key,
+                       count(*) AS ca FROM orders
+                WHERE o_orderkey IS NOT NULL GROUP BY 1
+            ), cb AS (
+                SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                       count(*) AS cb FROM lineitem
+                WHERE l_orderkey IS NOT NULL GROUP BY 1
+            ), contrib AS (
+                SELECT ca.key, ca.ca * cb.cb AS contrib
+                FROM ca JOIN cb USING (key)
+            ), tot AS (
+                SELECT sum(contrib) AS total FROM contrib
+            ), top AS (
+                SELECT key,
+                       CAST(contrib AS BIGINT) AS contrib,
+                       round(contrib * 1.0 / tot.total, 6) AS share
+                FROM contrib CROSS JOIN tot
+                ORDER BY contrib DESC, key ASC LIMIT 10
+            ), cum AS (
+                SELECT t.key, t.contrib, t.share,
+                       round(sum(o.share), 6) AS cum_share
+                FROM top t JOIN top o
+                  ON o.contrib > t.contrib
+                  OR (o.contrib = t.contrib AND o.key <= t.key)
+                GROUP BY t.key, t.contrib, t.share
+            )
+            SELECT CAST(NULL AS VARCHAR) AS key,
+                   CAST(coalesce(tot.total, 0) AS BIGINT) AS contrib,
+                   1.0 AS share, CAST(NULL AS DOUBLE) AS cum_share
+            FROM tot
+            UNION ALL
+            SELECT key, contrib, share, cum_share FROM cum
         """,
         # cms_heavy_hitters: the sketch is md5-deterministic, so the
         # oracle rebuilds the IDENTICAL depth*width table and the value

@@ -177,6 +177,7 @@ HEADLINE_QUERIES = (
     "cms_heavy_hitters",
     "pq_assign",
     "pq_adc_topk",
+    "join_size_estimate",
 )
 
 
