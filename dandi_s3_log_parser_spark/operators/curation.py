@@ -692,7 +692,10 @@ def corpus_shuffle(
     ``n_shards=1`` on a large corpus: that is a global sort by design.
 
     Returns ``(id_col, shard, pos)`` — ``pos`` is 1-based within the
-    shard.
+    shard.  Ids must be non-null (the usual key contract): a NULL id
+    would draw a NULL order key/shard here while DuckDB's
+    NULL-ignoring ``concat`` draws a real one, so the engines would
+    disagree on rows that have no identity to shuffle by anyway.
     """
     order_key = F.md5(
         F.concat(F.lit(f"order|{salt}|"), F.col(id_col).cast("string"))

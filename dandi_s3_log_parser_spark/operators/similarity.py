@@ -865,11 +865,22 @@ def pq_adc_topk(
 
     codes = staged.select(id_col, *[code_col(j) for j in range(m)])
 
+    # bounded driver collect: queries ride the driver as literal
+    # tables, so the batch size is capped loudly instead of letting an
+    # accidental corpus-sized "queries" frame OOM the driver (the
+    # lsh/ivf broadcast-join formulation is the right tool past this)
+    max_queries = 256
     q_rows = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
-    ).collect()
+    ).limit(max_queries + 1).collect()
     if not q_rows:
         raise ValueError("empty query input")
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_adc_topk takes at most {max_queries} queries per call "
+            "(driver-literal distance tables); broadcast-join a table "
+            "of tables for large batches"
+        )
 
     def dot_py(a, b):
         return sum(x * y for x, y in zip(a, b))

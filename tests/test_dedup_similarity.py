@@ -665,3 +665,17 @@ def test_pq_adc_uses_pq_assign_codes(spark):
                 qerr[r["query_id"]], abs=2e-6
             )
     assert codes  # smoke: codes materialized
+
+
+def test_pq_adc_topk_caps_query_batch(spark):
+    import pytest as _pytest
+
+    from dandi_s3_log_parser_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.withColumnRenamed("vec_id", "query_id")  # 300 > 256 cap
+    with _pytest.raises(ValueError, match="at most 256"):
+        pq_adc_topk(emb, q, m=1, k=2, iters=0, topk=1)
