@@ -484,3 +484,84 @@ def test_stream_cdc_changelog_replays_to_batch_apply_cdc(spark, tmp_path):
     assert sorted(map(tuple, replayed.collect())) == sorted(
         map(tuple, batch_next.collect())
     )
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join == the static inner join
+    with the identical condition when nothing is late past the
+    watermark; matches outside [l_ts, l_ts + delay] never emit."""
+    from pyspark.sql import functions as F
+
+    from dandi_s3_log_parser_spark.streaming.stream_join import (
+        stream_interval_join,
+    )
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    base = "2024-01-01 00:{:02d}:00"
+    lrows = [("u1", base.format(0)), ("u1", base.format(30)),
+             ("u2", base.format(5))]
+    rrows = [("u1", base.format(4)),   # within 10m of u1@00 -> match
+             ("u1", base.format(29)),  # 29m after u1@00 (no), before
+                                       # u1@30 (no: r < l) -> no match
+             ("u1", base.format(33)),  # within 10m of u1@30 -> match
+             ("u2", base.format(16)),  # 11m after u2@05 -> outside
+             ("u3", base.format(1))]   # no left key -> no match
+    spark.createDataFrame(lrows, "k string, l_ts_s string").select(
+        "k", F.col("l_ts_s").cast("timestamp").alias("l_ts")
+    ).write.mode("append").parquet(str(lsrc))
+    spark.createDataFrame(rrows, "k string, r_ts_s string").select(
+        "k", F.col("r_ts_s").cast("timestamp").alias("r_ts")
+    ).write.mode("append").parquet(str(rsrc))
+
+    ls = spark.readStream.schema("k string, l_ts timestamp").parquet(str(lsrc))
+    rs = spark.readStream.schema("k string, r_ts timestamp").parquet(str(rsrc))
+    q = (
+        stream_interval_join(
+            ls, rs, key_col="k", left_ts="l_ts", right_ts="r_ts",
+            max_delay="10 minutes", watermark="1 hour",
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["k"], str(r["l_ts"]), str(r["r_ts"]))
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    # batch reference with the identical condition
+    lb = spark.read.parquet(str(lsrc))
+    rb = spark.read.parquet(str(rsrc))
+    cond = (
+        (lb["k"] == rb["k"])
+        & (rb["r_ts"] >= lb["l_ts"])
+        & (rb["r_ts"] <= lb["l_ts"] + F.expr("INTERVAL 10 minutes"))
+    )
+    want = sorted(
+        (r["k"], str(r["l_ts"]), str(r["r_ts"]))
+        for r in lb.join(rb, cond).select(lb["k"], "l_ts", "r_ts").collect()
+    )
+    assert got == want
+    assert got == [
+        ("u1", "2024-01-01 00:00:00", "2024-01-01 00:04:00"),
+        ("u1", "2024-01-01 00:30:00", "2024-01-01 00:33:00"),
+    ]
+
+
+def test_stream_interval_join_rejects_column_collision(spark):
+    import pytest as _pytest
+
+    from dandi_s3_log_parser_spark.streaming.stream_join import (
+        stream_interval_join,
+    )
+
+    a = spark.createDataFrame([("u", 1)], "k string, ts int")
+    b = spark.createDataFrame([("u", 2)], "k string, ts int")
+    with _pytest.raises(ValueError, match="rename"):
+        stream_interval_join(
+            a, b, key_col="k", left_ts="ts", right_ts="ts"
+        )
