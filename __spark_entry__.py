@@ -761,6 +761,39 @@ def q_pq_assign(spark, sf):
     )
 
 
+def q_encode_tokens(spark, sf):
+    """Vocab-id encoding with a corpus-trained top-100 vocabulary
+    (md5-derived ids — no window needed to number the vocab); ids
+    emitted as a csv string because the cross-engine hash compare
+    cannot canonicalize array columns."""
+    from dandi_s3_log_parser_spark.operators.curation import encode_tokens
+    from dandi_s3_log_parser_spark.operators.dedup import word_tokens
+
+    docs = _load(spark, sf, "documents")
+    top = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(100)
+    )
+    vocab = top.select(
+        F.col("w").alias("token"),
+        (
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+            .cast("long") % 1000000
+        ).alias("token_id"),
+    )
+    out = encode_tokens(docs, vocab, oov_id=0)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            ",", F.transform("ids", lambda x: x.cast("string"))
+        ).alias("ids_csv"),
+    )
+
+
 def q_join_size_estimate(spark, sf):
     """Pre-flight join diagnostics: exact orders-joins-lineitem output
     cardinality on o_orderkey/l_orderkey + the 10 dominating keys."""
@@ -1860,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_assign": q_pq_assign,
         "pq_adc_topk": q_pq_adc_topk,
         "join_size_estimate": q_join_size_estimate,
+        "encode_tokens": q_encode_tokens,
         "sessionize": q_sessionize,
     }
 
@@ -3834,6 +3868,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal
             FROM latest WHERE op = 'U'
             ORDER BY c_custkey
+        """,
+        # encode_tokens: identical tokenization, top-100 vocab cut
+        # (count desc, token asc), md5-derived ids, oov->0, per-doc
+        # order-preserving csv assembly
+        "encode_tokens": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''
+                       ) AS words
+                FROM documents
+            ), uc AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(words) AS w FROM d) GROUP BY w
+                ORDER BY c DESC, w ASC LIMIT 100
+            ), v AS (
+                SELECT w,
+                       CAST(concat('0x', substr(md5(w), 1, 8))
+                           AS BIGINT) % 1000000 AS tid
+                FROM uc
+            ), inst AS (
+                SELECT doc_id, t.i AS pos, words[t.i] AS w
+                FROM d, unnest(generate_series(1, len(words))) AS t(i)
+            ), enc AS (
+                SELECT inst.doc_id, inst.pos,
+                       coalesce(v.tid, 0) AS tid
+                FROM inst LEFT JOIN v USING (w)
+            ), s AS (
+                SELECT doc_id, count(*) AS cnt,
+                       string_agg(CAST(tid AS VARCHAR), ','
+                                  ORDER BY pos) AS csv
+                FROM enc GROUP BY doc_id
+            )
+            SELECT doc.doc_id,
+                   CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_tokens,
+                   coalesce(s.csv, '') AS ids_csv
+            FROM documents doc LEFT JOIN s USING (doc_id)
         """,
         # join_size_estimate: exact cardinality decomposition
         # sum(cA*cB) + top contributors; the cum_share triangle-join

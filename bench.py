@@ -178,6 +178,7 @@ HEADLINE_QUERIES = (
     "pq_assign",
     "pq_adc_topk",
     "join_size_estimate",
+    "encode_tokens",
 )
 
 

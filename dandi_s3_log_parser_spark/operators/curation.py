@@ -657,6 +657,77 @@ def bigram_logprob(
     )
 
 
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    token_id_col: str = "token_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode each document's tokens to vocabulary ids — the
+    tokenize-to-ids step between curation and shard export that turns
+    text into the integer sequences a training run actually reads.
+
+    ``vocab`` is ``(token, token_id)``; tokens absent from it encode
+    to ``oov_id`` (the <unk> convention).  Returns one row per
+    document: ``(id_col, n_tokens, ids)`` with ``ids`` an
+    ``array<long>`` in original token order — TOTAL (empty/NULL text
+    keeps a row with an empty array), so downstream packing sees every
+    curated doc.
+
+    Scale shape (10^12 tokens): a real vocabulary is bounded (tens of
+    thousands to low millions of rows) — always broadcast, asserted
+    here with an explicit ``F.broadcast``; the token stream joins
+    map-side and re-assembles with ONE id-keyed exchange
+    (``collect_list`` of (pos, id) structs, sorted inside the array —
+    never a per-doc window).  The text is tokenized once;
+    ``posexplode_outer`` keeps empty docs without a restore join.
+    """
+    from ..operators.dedup import word_tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(word_tokens(F.col(text_col))).alias(
+            "_pos", "_tok"
+        ),
+    )
+    enc = toks.join(
+        F.broadcast(
+            vocab.select(
+                F.col(token_col).alias("_tok"),
+                F.col(token_id_col).cast("long").alias("_tid"),
+            )
+        ),
+        "_tok",
+        "left",
+    ).select(
+        id_col,
+        "_pos",
+        F.when(
+            F.col("_pos").isNotNull(),
+            F.coalesce(F.col("_tid"), F.lit(oov_id).cast("long")),
+        ).alias("_id"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count(F.col("_id")).cast("long").alias("n_tokens"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_id").isNotNull(),
+                        F.struct(F.col("_pos").alias("p"),
+                                 F.col("_id").alias("i")),
+                    )
+                )
+            ),
+            lambda s: s["i"],
+        ).alias("ids"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic corpus shuffle (training-order shard assignment)
 # ---------------------------------------------------------------------------

@@ -1214,3 +1214,38 @@ def test_cms_frequency_check_rejects_bad_dims(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError):
         cms_frequency_check(df, "v", width=0)
+
+
+def test_encode_tokens_hand_computed_and_total(spark):
+    from dandi_s3_log_parser_spark.operators.curation import encode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "Apple banana apple cherry"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("apple", 7), ("banana", 9)], "token string, token_id long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in encode_tokens(docs, vocab, oov_id=0).collect()
+    }
+    assert len(got) == 3  # total: empty and NULL docs kept
+    # lowercase tokens: apple banana apple cherry -> 7 9 7 0(oov)
+    assert got[1]["n_tokens"] == 4
+    assert list(got[1]["ids"]) == [7, 9, 7, 0]
+    for d in (2, 3):
+        assert got[d]["n_tokens"] == 0
+        assert list(got[d]["ids"]) == []
+
+
+def test_encode_tokens_vocab_is_broadcast(spark):
+    from dandi_s3_log_parser_spark.operators.curation import encode_tokens
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a", 1)], "token string, token_id long")
+    out = encode_tokens(docs, vocab)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
