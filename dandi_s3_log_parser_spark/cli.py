@@ -210,6 +210,34 @@ def cmd_curate(args) -> int:
         kept = kept.drop("text").join(
             lines.select("doc_id", "text"), "doc_id"
         )
+    if args.encode_vocab:
+        from .operators.curation import encode_tokens
+        from .operators.dedup import word_tokens
+
+        vocab = (
+            kept.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("token"))
+            .limit(args.encode_vocab)
+            .select(
+                "token",
+                # shuffle-free md5 hash ids in [1, 999999] (0 stays the
+                # oov/<unk> id); rare in-vocab collisions are the
+                # hashing-trick trade, same as the quality classifier
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col("token")), 1, 8), 16, 10
+                    ).cast("long") % 999999 + 1
+                ).alias("token_id"),
+            )
+        )
+        kept = kept.join(
+            encode_tokens(kept, vocab, oov_id=0), "doc_id"
+        )
+        print(f"curate: encoded with top-{args.encode_vocab} vocab "
+              "(oov id 0)")
+
     if args.shards:
         from .operators.curation import corpus_shuffle
 
@@ -372,6 +400,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(longest first, ties to lowest id)")
     c.add_argument("--line-df-limit", type=int, default=None,
                    help="strip lines occurring in more than this many docs")
+    c.add_argument("--encode-vocab", type=int, default=None,
+                   help="also encode text to token-id arrays using the "
+                        "curated corpus' top-N vocabulary (md5-derived "
+                        "ids, 0 = oov)")
     c.add_argument("--shards", type=int, default=None,
                    help="write the output as this many deterministic "
                         "training shards (shard=N/ dirs, rows in shuffled "

@@ -242,3 +242,40 @@ def test_curate_cli_writes_training_shards(tmp_path):
         f"SELECT count(DISTINCT doc_id), count(*) FROM read_parquet('{out}/*/*.parquet')"
     ).fetchone()
     assert total[0] == total[1] == 500  # total: min-chars 0 keeps all
+
+
+@pytest.mark.slow
+def test_curate_cli_encode_and_shards_end_to_end(tmp_path):
+    """The full one-command export: curate -> encode to token ids ->
+    deterministic training shards, ids present in the shard files."""
+    out = tmp_path / "encoded_shards"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dandi_s3_log_parser_spark.cli",
+            "--local-cores", "4",
+            "curate",
+            "--documents", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--min-chars", "0",
+            "--encode-vocab", "50",
+            "--shards", "2",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "encoded with top-50 vocab" in r.stdout
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT n_tokens, len(ids) AS l, "
+        f"len(list_filter(ids, x -> x > 0)) AS in_vocab "
+        f"FROM read_parquet('{out}/*/*.parquet')"
+    ).fetchall()
+    assert len(rows) == 500
+    for n_tokens, l, in_vocab in rows:
+        assert n_tokens == l  # one id per token, order-preserving len
+        assert 0 <= in_vocab <= l
+    # the top-50 vocab must cover a meaningful share of tokens
+    tot = sum(r[1] for r in rows)
+    inv = sum(r[2] for r in rows)
+    assert inv > 0.3 * tot
