@@ -780,8 +780,11 @@ def q_encode_tokens(spark, sf):
     vocab = top.select(
         F.col("w").alias("token"),
         (
+            # % 999999 + 1 (same mapping as cli.py --encode-vocab): id 0
+            # stays reserved for OOV so a real token can never collide
+            # with <unk> (round-4 ADVICE)
             F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
-            .cast("long") % 1000000
+            .cast("long") % 999999 + 1
         ).alias("token_id"),
     )
     out = encode_tokens(docs, vocab, oov_id=0)
@@ -1146,7 +1149,7 @@ def q_url_canonicalize(spark, sf):
     url = (
         F.when(m == 0, F.concat(F.lit("https://Example.COM:443/Dir"), sid, F.lit("/")))
         .when(m == 1, F.concat(F.lit("http://site.org:80/a"), sid, F.lit("?b=2&a=1&utm_source=x")))
-        .when(m == 2, F.concat(F.lit("https://h.net/p"), sid, F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("https://h.net/p"), sid, F.lit("#/route?x=1")))
         .when(m == 3, F.concat(F.lit("HTTPS://UPPER.net/x?gclid=42&id="), sid))
         .when(m == 4, F.concat(F.lit("not a url "), sid))
         .otherwise(F.concat(F.lit("https://dup.com/same"), sid, F.lit("?ref=zz&z=9")))
@@ -3228,7 +3231,8 @@ def oracle_sql() -> dict[str, str]:
                                      || doc_id || '/'
                          WHEN 1 THEN 'http://site.org:80/a' || doc_id
                                      || '?b=2&a=1&utm_source=x'
-                         WHEN 2 THEN 'https://h.net/p' || doc_id || '#frag'
+                         WHEN 2 THEN 'https://h.net/p' || doc_id
+                                     || '#/route?x=1'
                          WHEN 3 THEN 'HTTPS://UPPER.net/x?gclid=42&id='
                                      || doc_id
                          WHEN 4 THEN 'not a url ' || doc_id
@@ -3248,7 +3252,8 @@ def oracle_sql() -> dict[str, str]:
                            '/+$', '') AS path,
                        array_to_string(list_sort(list_filter(
                            string_split(
-                               regexp_extract(url, '\?([^#]*)', 1), '&'),
+                               regexp_extract(url, '^[^#]*?\?([^#]*)', 1),
+                               '&'),
                            x -> x <> '' AND NOT regexp_matches(x,
                              '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))),
                            '&') AS q
@@ -3887,7 +3892,7 @@ def oracle_sql() -> dict[str, str]:
             ), v AS (
                 SELECT w,
                        CAST(concat('0x', substr(md5(w), 1, 8))
-                           AS BIGINT) % 1000000 AS tid
+                           AS BIGINT) % 999999 + 1 AS tid
                 FROM uc
             ), inst AS (
                 SELECT doc_id, t.i AS pos, words[t.i] AS w

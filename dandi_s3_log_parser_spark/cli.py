@@ -232,7 +232,11 @@ def cmd_curate(args) -> int:
                 ).alias("token_id"),
             )
         )
-        kept = kept.join(
+        # drop any pre-existing n_tokens/ids columns first: the encode
+        # output carries those names, and a duplicate-named join output
+        # fails the parquet write (round-4 ADVICE); .drop of an absent
+        # column is a no-op
+        kept = kept.drop("n_tokens", "ids").join(
             encode_tokens(kept, vocab, oov_id=0), "doc_id"
         )
         print(f"curate: encoded with top-{args.encode_vocab} vocab "

@@ -36,7 +36,10 @@ TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored to text BEFORE any '#': a '?' inside the fragment (SPA-style
+# '#/route?x=1') is fragment content and must be dropped with it (rule 3),
+# not resurrected as query params (round-4 ADVICE, medium)
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def canonical_url(url: Column) -> Column:

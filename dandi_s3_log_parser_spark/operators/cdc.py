@@ -49,9 +49,22 @@ def apply_cdc(
     if missing:
         raise ValueError(f"changes is missing snapshot columns: {missing}")
 
+    # validate ops INSIDE the plan (no extra scan of the delta): a
+    # malformed op ('u', 'I', NULL) previously fell through to the
+    # delete path and silently dropped the row (round-4 ADVICE); now the
+    # job fails loudly at execution time instead of losing data
+    op_ok = F.col(op_col).isin("U", "D")
+    checked_op = F.when(op_ok, F.col(op_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("apply_cdc: op must be 'U' or 'D', got: "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     latest = changes.groupBy(key_col).agg(
         F.max_by(
-            F.struct(F.col(op_col).alias("_op"), *payload), F.col(seq_col)
+            F.struct(checked_op.alias("_op"), *payload), F.col(seq_col)
         ).alias("_c")
     )
     upserts = latest.filter(F.col("_c._op") == "U").select(

@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to the
+    cluster's default parallelism when the conf is non-numeric ('auto'
+    on AQE-managed platforms) or unset — a repartition width hint must
+    never crash the operator (round-4 ADVICE)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def word_tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
@@ -346,9 +357,7 @@ def incremental_minhash_dedup(
     # (banding and Jaccard verify) read via ReuseExchange, instead of
     # re-running each side's tokenize/shingle subtree twice — the same
     # single-materialization trick minhash_dedup documents
-    n_part = int(
-        new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = _shuffle_partitions(new_docs.sparkSession)
     sh_new = (
         with_shingles(new_docs, text_col, shingle_n)
         .select(F.col(id_col).alias("id"), "sh")

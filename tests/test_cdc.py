@@ -63,6 +63,17 @@ def test_apply_cdc_schema_matches_snapshot(spark, snap):
     assert out.columns == snap.columns
 
 
+def test_apply_cdc_rejects_malformed_op(spark, snap):
+    """A malformed op ('u', 'I', NULL) used to fall through to the
+    delete path and silently drop the row (round-4 ADVICE); the plan
+    now raises at execution time instead of losing data."""
+    for bad_op in ("u", "I", None):
+        changes = _ch(spark, [(1, "x", 1.0, 1, bad_op)])
+        with pytest.raises(Exception) as exc:
+            apply_cdc(snap, changes).collect()
+        assert "apply_cdc: op must be" in str(exc.value), bad_op
+
+
 def test_apply_cdc_plan_snapshot_never_shuffled(spark, snap):
     """No window anywhere, and with a small delta AQE turns the anti
     join into a broadcast — the snapshot side carries no Exchange (the

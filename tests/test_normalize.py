@@ -67,6 +67,11 @@ def test_canonical_url_rules(spark):
         ("https://example.com:80/x", "https://example.com:80/x"),
         ("http://h.io:8080/y", "http://h.io:8080/y"),
         ("https://h.io/p#section-2", "https://h.io/p"),
+        # a '?' INSIDE the fragment is fragment content, not a query
+        # (SPA-style routes; round-4 ADVICE medium)
+        ("https://h.io/p#/route?x=1&b=2", "https://h.io/p"),
+        # real query + fragment containing another '?': keep only the real one
+        ("https://h.io/p?b=2&a=1#frag?z=9", "https://h.io/p?a=1&b=2"),
         ("https://h.io/p?utm_source=a&utm_campaign=b", "https://h.io/p"),
         ("https://h.io/p?z=1&a=2&fbclid=xyz", "https://h.io/p?a=2&z=1"),
         # ref is tracking; href is not (anchored param match)

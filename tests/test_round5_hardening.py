@@ -1,0 +1,126 @@
+"""Round-5 hardening: pins for the round-4 ADVICE fixes.
+
+- ``_shuffle_partitions`` must not crash when the conf is 'auto'/unset
+  (AQE-managed platforms);
+- the curate CLI's --encode-vocab stage must survive input parquet that
+  already carries ``n_tokens``/``ids`` columns (duplicate-name join);
+- the bench's ``encode_tokens`` query must reserve token id 0 for OOV
+  (same % 999999 + 1 mapping as the CLI).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+class _FakeConf:
+    def __init__(self, value):
+        self._value = value
+
+    def get(self, key):
+        if isinstance(self._value, Exception):
+            raise self._value
+        return self._value
+
+
+class _FakeSC:
+    defaultParallelism = 12
+
+
+class _FakeSpark:
+    sparkContext = _FakeSC()
+
+    def __init__(self, conf_value):
+        self.conf = _FakeConf(conf_value)
+
+
+def test_shuffle_partitions_fallback():
+    from dandi_s3_log_parser_spark.operators.dedup import _shuffle_partitions
+
+    assert _shuffle_partitions(_FakeSpark("32")) == 32
+    # 'auto' (Databricks-style AQE conf) -> defaultParallelism, no crash
+    assert _shuffle_partitions(_FakeSpark("auto")) == 12
+    # unset -> conf.get returns None -> TypeError -> fallback
+    assert _shuffle_partitions(_FakeSpark(None)) == 12
+
+
+def test_encode_tokens_query_reserves_oov_zero(spark):
+    """Every id the bench query emits for an IN-VOCAB token is >= 1:
+    id 0 is the OOV sentinel and must never collide with a real token
+    (round-4 ADVICE — the query used % 1000000, which could assign a
+    real token id 0; now % 999999 + 1, same mapping as the CLI)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    df = entrymod.queries()["encode_tokens"](spark, "/root/testdata/sf0.001")
+    ids = (
+        df.select(F.explode(F.split("ids_csv", ",")).alias("id"))
+        .filter(F.col("id") != "")
+        .select(F.col("id").cast("long").alias("id"))
+    )
+    lo, hi = ids.agg(F.min("id"), F.max("id")).first()
+    # in-vocab ids live in [1, 999999]; 0 appears only if OOV exists
+    assert 0 <= lo and hi <= 999999
+    # the old % 1000000 mapping assigns token id 0 to any token whose
+    # md5[:8] is a multiple of 1e6; prove the NEW mapping never can:
+    # the minimum nonzero id must be achievable only at >= 1, and
+    # exhaustively, no in-vocab token maps to 0 under the new formula
+    from dandi_s3_log_parser_spark.operators.dedup import word_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab_ids = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .select(
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+                % 999999 + 1
+            ).alias("tid")
+        )
+    )
+    vlo, vhi = vocab_ids.agg(F.min("tid"), F.max("tid")).first()
+    assert vlo >= 1 and vhi <= 999999
+
+
+@pytest.mark.slow
+def test_curate_cli_encode_vocab_with_preexisting_token_columns(tmp_path):
+    """Input documents that ALREADY carry n_tokens/ids columns (e.g. a
+    re-curation of previously encoded output) used to produce duplicate
+    column names at the encode join and fail the parquet write
+    (round-4 ADVICE); now the stale columns are dropped and replaced."""
+    import duckdb
+
+    src = tmp_path / "docs_with_stale_cols.parquet"
+    duckdb.sql(
+        "COPY (SELECT *, 7::BIGINT AS n_tokens, [1,2,3]::BIGINT[] AS ids "
+        "FROM '/root/testdata/sf0.001/documents.parquet') "
+        f"TO '{src}' (FORMAT PARQUET)"
+    )
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dandi_s3_log_parser_spark.cli",
+            "--local-cores", "4",
+            "curate",
+            "--documents", str(src),
+            "--out", str(out),
+            "--min-chars", "0",
+            "--encode-vocab", "20",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = duckdb.sql(
+        f"SELECT n_tokens, len(ids) FROM read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    assert len(rows) == 500
+    # the stale constant columns were REPLACED by real encodings
+    assert any(n != 7 for n, _ in rows)
+    for n_tokens, l in rows:
+        assert n_tokens == l
