@@ -1779,6 +1779,25 @@ def q_png_decode(spark, sf):
     return decode_png_stats(media).orderBy("media_id")
 
 
+def q_bmp_decode(spark, sf):
+    """Real (pure-stdlib) BMP codec path: synthetic standards-valid
+    24-bit BMPs -> header + padded-pixel-array decode -> per-payload
+    stats, verified by closed-form media_id arithmetic exactly like
+    png_decode (the oracle never parses BMP, so a decoder bug cannot
+    self-confirm)."""
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        decode_bmp_stats,
+        synthetic_bmp_media,
+    )
+
+    media = synthetic_bmp_media(spark, 300)
+    if _is_oracle_sf(sf):
+        _publish_exchange(
+            "bmp_media", media.select("media_id", "payload").toPandas()
+        )
+    return decode_bmp_stats(media).orderBy("media_id")
+
+
 def q_wav_decode(spark, sf):
     """Real (pure-stdlib) WAV codec path: synthetic standards-valid
     PCM-16 RIFF/WAVE payloads -> chunk-walk decode -> per-payload
@@ -1842,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pipeline": q_pages_pipeline,
         "multimodal_decode": q_multimodal_decode,
         "png_decode": q_png_decode,
+        "bmp_decode": q_bmp_decode,
         "wav_decode": q_wav_decode,
         "repetition_metrics": q_repetition_metrics,
         "top_bigram_fraction": q_top_bigram_fraction,
@@ -2700,6 +2720,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST((8 + media_id % 11) * (8 + media_id % 13)
                         * ((media_id * 37) % 256) AS BIGINT) AS idat_byte_sum
             FROM read_parquet('{_exchange_path("png_media")}')
+            ORDER BY media_id
+        """,
+        # real BMP decode verified arithmetically (synthetic_bmp_media
+        # docstring): width/height/color are planted pure functions of
+        # media_id; row padding is zeros, so the padding-excluded pixel
+        # sum is width*height*(b+g+r) in closed form
+        "bmp_decode": f"""
+            SELECT media_id,
+                   CAST(octet_length(payload) AS BIGINT) AS byte_len,
+                   CAST(4 + media_id % 9 AS INT) AS width,
+                   CAST(3 + media_id % 7 AS INT) AS height,
+                   CAST((3 * (4 + media_id % 9) + 3) // 4 * 4 AS INT)
+                       AS row_stride,
+                   CAST(((3 * (4 + media_id % 9) + 3) // 4 * 4)
+                        * (3 + media_id % 7) AS BIGINT) AS pixel_bytes,
+                   CAST((4 + media_id % 9) * (3 + media_id % 7)
+                        * ((media_id % 256) + ((media_id * 11) % 256)
+                           + ((media_id * 29) % 256)) AS BIGINT)
+                       AS pixel_byte_sum
+            FROM read_parquet('{_exchange_path("bmp_media")}')
             ORDER BY media_id
         """,
         # real WAV decode verified arithmetically (synthetic_wav_media

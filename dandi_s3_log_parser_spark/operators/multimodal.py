@@ -5,10 +5,12 @@ decode/feature kernels run as Arrow-batched ``mapInPandas`` operators so
 the Spark-side contract (schema, batch shape, partitioning) is real and
 tested even though most codec libraries are absent in this container.
 
-STUB BOUNDARY: ``decode_fn='real'`` genuinely decodes **PNG** payloads
-with a pure-stdlib parser (IHDR header + zlib-inflated IDAT — see
-:func:`_decode_png`) and raises ``NotImplementedError`` for every other
-format — plug Pillow/torchaudio/ffmpeg there on a real cluster.  The
+STUB BOUNDARY: ``decode_fn='real'`` genuinely decodes **PNG** (IHDR
+header + zlib-inflated IDAT — :func:`_decode_png`), **BMP** (24-bit
+uncompressed, padded bottom-up rows — :func:`_decode_bmp`) and
+**PCM-16 WAV** (:func:`_decode_wav`) payloads with pure-stdlib parsers
+and raises ``NotImplementedError`` for every other format — plug
+Pillow/torchaudio/ffmpeg there on a real cluster.  The
 default ``decode_fn='fake'`` is a deterministic stand-in
 (dimensions/duration derived from a stable hash of the payload) so the
 distributed plumbing is exercised end-to-end on arbitrary bytes.
@@ -161,6 +163,62 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
     return rate, channels, n_samples, n_samples * 1000 // rate, lo_sum
 
 
+BMP_MAGIC = b"BM"
+
+
+def make_bmp(width: int, height: int, bgr: tuple[int, int, int]) -> bytes:
+    """Minimal valid 24-bit uncompressed BMP (pure stdlib) — constant
+    pixel color ``bgr``, bottom-up rows padded to 4-byte boundaries per
+    the BITMAPINFOHEADER spec.  Standards-valid: 14-byte file header +
+    40-byte info header + pixel array."""
+    stride = (3 * width + 3) // 4 * 4
+    row = bytes(bgr) * width + b"\x00" * (stride - 3 * width)
+    data = row * height
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    file_header = struct.pack(
+        "<2sIHHI", BMP_MAGIC, 14 + 40 + len(data), 0, 0, 14 + 40
+    )
+    return file_header + info + data
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Real pure-stdlib BMP decode: ``(width, height, row_stride,
+    pixel_bytes, pixel_byte_sum)``.
+
+    Reads the file header for the pixel-array offset, the info header
+    for dimensions/bpp/compression, then walks the padded bottom-up
+    pixel rows; the byte sum EXCLUDES row padding (reshape by stride,
+    slice to 3*width), so a padding-handling bug cannot self-confirm
+    against the closed-form oracle.  Raises ``ValueError`` on non-BMP
+    bytes or unsupported (non-24-bit / compressed) content.
+    """
+    if payload[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack("<I", payload[10:14])
+    header_size, width, height, _, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported, got {bpp}-bit "
+            f"compression={compression}"
+        )
+    if height < 0:  # top-down variant: same bytes, negated height field
+        height = -height
+    stride = (3 * width + 3) // 4 * 4
+    data = payload[pixel_offset : pixel_offset + stride * height]
+    if len(data) != stride * height:
+        raise ValueError("BMP pixel array truncated")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, stride)
+    pixel_sum = int(rows[:, : 3 * width].sum(dtype=np.int64))
+    return width, height, stride, stride * height, pixel_sum
+
+
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, int]:
     """Deterministic fake decode: stable pseudo-dimensions from content."""
     h = hashlib.sha256(payload).digest()
@@ -189,11 +247,14 @@ def decode_media(media: DataFrame, *, decode_fn: str = "fake") -> DataFrame:
         if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
             _, _, n_samples, duration_ms, _ = _decode_wav(payload)
             return 0, 0, duration_ms, n_samples
+        if payload[:2] == BMP_MAGIC:
+            width, height, _, _, _ = _decode_bmp(payload)
+            return width, height, 0, 1
         raise NotImplementedError(
-            "real decoding is implemented in pure stdlib for PNG and "
-            "PCM-16 WAV only; other formats require codec libraries "
-            "(Pillow/ffmpeg) that are not installed — use "
-            "decode_fn='fake' for those"
+            "real decoding is implemented in pure stdlib for PNG, BMP "
+            "and PCM-16 WAV only; other formats (JPEG, compressed "
+            "audio/video) require codec libraries (Pillow/ffmpeg) that "
+            "are not installed — use decode_fn='fake' for those"
         )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -345,6 +406,74 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches_fn, schema=WAV_STATS_SCHEMA)
+
+
+BMP_STATS_SCHEMA = (
+    "media_id long, byte_len long, width int, height int, "
+    "row_stride int, pixel_bytes long, pixel_byte_sum long"
+)
+
+
+def synthetic_bmp_media(spark, n: int) -> DataFrame:
+    """Distributed generator of REAL (standards-valid) 24-bit BMP
+    payloads with planted parameters — closed-form in ``media_id`` so
+    the oracle recomputes every decoded statistic without a BMP parser:
+
+    * ``width  = 4 + media_id % 9``   (row padding varies with width)
+    * ``height = 3 + media_id % 7``
+    * constant BGR color ``(media_id % 256, (media_id*11) % 256,
+      (media_id*29) % 256)``
+    * hence ``row_stride = (3*width + 3) // 4 * 4``,
+      ``pixel_bytes = row_stride * height``, and (padding is zeros)
+      ``pixel_byte_sum = width * height * (b + g + r)``.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads = [
+                make_bmp(
+                    4 + int(i) % 9,
+                    3 + int(i) % 7,
+                    (int(i) % 256, (int(i) * 11) % 256, (int(i) * 29) % 256),
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "source_url": [f"synthetic://bmp/{i}" for i in ids],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_bmp_stats(media: DataFrame) -> DataFrame:
+    """Real BMP decode over a media table (Arrow-batched mapInPandas):
+    header dimensions plus padding-aware pixel-array statistics per
+    payload.  Fails loudly on non-BMP bytes."""
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_decode_bmp(p) for p in pdf["payload"]]
+            arr = np.array(stats, dtype=np.int64).reshape(len(pdf), 5)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": pdf["payload"].str.len().astype("int64"),
+                    "width": arr[:, 0].astype("int32"),
+                    "height": arr[:, 1].astype("int32"),
+                    "row_stride": arr[:, 2].astype("int32"),
+                    "pixel_bytes": arr[:, 3],
+                    "pixel_byte_sum": arr[:, 4],
+                }
+            )
+
+    return media.mapInPandas(batches_fn, schema=BMP_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_index int, frame_ms long"
