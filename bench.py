@@ -240,13 +240,18 @@ def main() -> None:
     registry = entrymod.queries()
     for name in HEADLINE_QUERIES:
         fn = registry[name]
-        _between_query_cleanup(spark)
         # time construction + execution: iterative operators (e.g.
         # dedup_clusters' label-propagation loop) do their real work at
         # construction, so timing only the final action would underreport
         # them; for pure-lazy plans construction adds only milliseconds
         ts, cs = [], []
         for _ in range(n_trials):
+            # cleanup per TRIAL, not per query: round-4 driver trials for
+            # dedup_clusters got slower across its own trials
+            # (8.9 -> 11.1 s) — each trial leaks that trial's
+            # localCheckpoint blocks into the next, so only the first
+            # trial ran from the storage state an isolated run sees
+            _between_query_cleanup(spark)
             cpu0 = _executor_cpu_s(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

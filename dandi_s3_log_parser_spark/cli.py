@@ -126,6 +126,36 @@ def cmd_stream_reduce(args) -> int:
     return 0
 
 
+def cmd_stream_curate(args) -> int:
+    """Streaming ingest -> curate: drain (or follow) a landing documents
+    directory through lang/quality filters + cross-batch first-seen
+    dedup into a parquet kept-set, exactly-once across restarts (see
+    streaming/stream_curate.py module docs)."""
+    from .streaming.stream_curate import stream_curate
+
+    spark = _build_session(args)
+    q = stream_curate(
+        spark,
+        args.docs,
+        args.out,
+        args.checkpoint,
+        min_score=args.min_score,
+        langs=tuple(args.langs.split(",")),
+        available_now=not args.follow,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    if args.follow:
+        q.awaitTermination()
+    else:
+        q.awaitTermination(args.timeout)
+        n = spark.read.parquet(args.out).count()
+        print(
+            f"stream-curate: drained available input; kept-set now {n} "
+            f"rows (checkpoint {args.checkpoint})"
+        )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Document-corpus curation job: funnel filters -> optional
     benchmark decontamination -> exact dedup -> optional per-source cap
@@ -380,6 +410,26 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--timeout", type=int, default=600,
                    help="drain-mode wait seconds")
     s.set_defaults(fn=cmd_stream_reduce)
+
+    sc = sub.add_parser(
+        "stream-curate",
+        help="streaming ingest->curate over a landing documents dir "
+             "(lang/quality filter + first-seen dedup, exactly-once)",
+    )
+    sc.add_argument("--docs", required=True,
+                    help="documents parquet directory to stream from")
+    sc.add_argument("--out", required=True, help="kept-set parquet sink dir")
+    sc.add_argument("--checkpoint", required=True)
+    sc.add_argument("--min-score", type=float, default=0.2)
+    sc.add_argument("--langs", default="en",
+                    help="comma-separated language allowlist")
+    sc.add_argument("--follow", action="store_true",
+                    help="keep running on new files instead of drain-and-stop")
+    sc.add_argument("--timeout", type=int, default=600,
+                    help="drain-mode wait seconds")
+    sc.add_argument("--max-files-per-trigger", type=int, default=None,
+                    help="bound each microbatch's input file count")
+    sc.set_defaults(fn=cmd_stream_curate)
 
     c = sub.add_parser(
         "curate",

@@ -1040,9 +1040,16 @@ def test_pmi_collocations_plan_take_ordered_and_reused_exchange(spark):
     df = spark.createDataFrame(
         [(1, "a b a b")], "doc_id long, text string"
     )
-    out = pmi_collocations(df, min_count=1)
-    out.collect()  # finalize AQE so exchange reuse is decided
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # assert on the static plan: the AQE executedPlan string is
+    # session-history-dependent (flaked once in a full-suite run), while
+    # TakeOrderedAndProject and ReuseExchange are deterministic physical
+    # preparation rules visible without AQE re-planning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = pmi_collocations(df, min_count=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
     assert "ReusedExchange" in plan
