@@ -33,6 +33,40 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _d(x: float) -> str:
+    """SQL double literal: ``repr`` round-trips the exact double and
+    Spark's parser is correctly rounded, so the parsed value is
+    bit-identical to ``F.lit(x)``."""
+    return repr(float(x)) + "D"
+
+
+def _arr_sql(vals) -> str:
+    return "array(" + ",".join(_d(x) for x in vals) + ")"
+
+
+def _bt(name: str) -> str:
+    return f"`{name}`"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """``dot`` as a SQL string — the SAME aggregate/zip_with fold (same
+    lambda, same cast-before-multiply, same left-to-right order), so
+    the result is bit-identical to the Column form.
+
+    Why strings: centroid-table expressions carry k*dim literals, and
+    building them with py4j Column calls costs one driver round trip
+    per node — measured 2-7 s of pure plan-BUILD time per Lloyd
+    iteration at k=8, dim=64, vs ~0.3 s when the whole expression
+    ships as one ``F.expr`` string parsed JVM-side.  Executor cost is
+    identical (same expression tree after parsing).
+    """
+    return (
+        f"aggregate(zip_with({a},{b},"
+        "(x,y)->cast(x as double)*cast(y as double)),"
+        "cast(0.0 as double),(acc,v)->acc+v)"
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
@@ -496,35 +530,39 @@ def assign_to_centroids(
     of k inlined copies, and ||c||^2 is a pure constant: sum it on the
     driver (Python's left-to-right double sum is bit-identical to the
     engines' sequential fold).  Together this shrinks the generated
-    code ~3x — with k unrolled distance expressions over dim-length
-    literal arrays, codegen size is the fixed cost every task (and the
-    JIT) pays.
+    code ~3x — with k distance expressions over dim-length literal
+    arrays, plan size is the fixed cost every action (and the JIT)
+    pays.
     """
     base = emb.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
-        dot(F.col(vec_col), F.col(vec_col)).alias("_vv"),
+        F.expr(_dot_sql(_bt(vec_col), _bt(vec_col))).alias("_vv"),
     )
     dists = [
-        F.round(
-            F.col("_vv")
-            - 2.0
-            * dot(
-                F.col("_v"), F.array(*[F.lit(x) for x in cents[i]])
-            )
-            + F.lit(sum(x * x for x in cents[i])),
-            ndp,
-        )
+        f"round(_vv - 2.0D*{_dot_sql('_v', _arr_sql(cents[i]))}"
+        f" + {_d(sum(x * x for x in cents[i]))},{ndp})"
         for i in sorted(cents)
     ]
-    arr = F.array(*dists)
-    return base.select(
+    # the k-distance array is materialized in its OWN projection: the
+    # argmin needs it twice (array_position + array_min), and letting
+    # CollapseProject inline the k distance expressions into both
+    # references doubles an already-large tree — Catalyst leaves a
+    # non-cheap expression referenced more than once in its own
+    # Project, which keeps plan size linear in k*dim.  The array ships
+    # as ONE F.expr string (see _dot_sql on why)
+    darr = base.select(
         F.col(id_col),
         F.col("_v"),
-        (F.array_position(arr, F.array_min(arr)) - 1)
+        F.expr("array(" + ",".join(dists) + ")").alias("_darr"),
+    )
+    return darr.select(
+        F.col(id_col),
+        F.col("_v"),
+        (F.array_position(F.col("_darr"), F.array_min(F.col("_darr"))) - 1)
         .cast("long")
         .alias("cluster"),
-        F.array_min(arr).alias("dist"),
+        F.array_min(F.col("_darr")).alias("dist"),
     )
 
 
@@ -697,6 +735,156 @@ def semdedup_keep(
     )
 
 
+def _pq_staged(emb, m: int, dsub: int, id_col: str, vec_col: str):
+    """(id, _s0.._s{m-1}, _vv0.._vv{m-1}): the sliced subspaces plus
+    their self-dot norms, computed ONCE per row — the shared input of
+    both PQ training and code assignment."""
+    staged = emb.select(
+        F.col(id_col),
+        *[
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(f"_s{j}")
+            for j in range(m)
+        ],
+    )
+    return staged.select(
+        id_col,
+        *[F.col(f"_s{j}") for j in range(m)],
+        *[
+            F.expr(_dot_sql(f"_s{j}", f"_s{j}")).alias(f"_vv{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def _pq_dist_arrays(books, m: int, ndp: int):
+    """Per-subspace k-entry rounded-distance ARRAY columns
+    ``_darr0.._darr{m-1}`` over a ``_pq_staged`` frame —
+    kmeans_assign's exact arithmetic contract (rounded squared-L2,
+    index order) per subspace.  Kept as array columns in their own
+    projection so the argmin's double reference (array_position +
+    array_min) never duplicates the k unrolled distance trees — see
+    the CollapseProject note in ``assign_to_centroids``."""
+    arrs = []
+    for j in range(m):
+        cents = books[j]
+        dists = [
+            f"round(_vv{j} - 2.0D*{_dot_sql(f'_s{j}', _arr_sql(cents[i]))}"
+            f" + {_d(sum(x * x for x in cents[i]))},{ndp})"
+            for i in sorted(cents)
+        ]
+        arrs.append(
+            F.expr("array(" + ",".join(dists) + ")").alias(f"_darr{j}")
+        )
+    return arrs
+
+
+def _pq_code_col(j: int):
+    """Nearest-entry index over the ``_darr{j}`` attribute (lowest-index
+    tie-break via array_position-of-min)."""
+    return (
+        (
+            F.array_position(
+                F.col(f"_darr{j}"), F.array_min(F.col(f"_darr{j}"))
+            )
+            - 1
+        )
+        .cast("int")
+        .alias(f"_c{j}")
+    )
+
+
+def _pq_dist_col(j: int):
+    return F.array_min(F.col(f"_darr{j}")).alias(f"_d{j}")
+
+
+def _train_pq_codebooks(
+    emb: DataFrame,
+    m: int,
+    k: int,
+    iters: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndp: int = 6,
+) -> list[dict[int, list[float]]]:
+    """All ``m`` subspace codebooks trained with ONE corpus scan per
+    Lloyd iteration (plus one for init), instead of a per-subspace
+    training loop: each iteration computes every subspace's rounded
+    argmin in a single projection, explodes to (subspace, cluster,
+    dim, val) and runs ONE decimal-exact (sub, cluster, dim) sum/count
+    shuffle whose result is m*k*dsub rows — driver-sized.
+
+    Arithmetic is ``train_kmeans_centroids``'s contract verbatim per
+    subspace (k smallest-id init, rounded squared-L2 argmin with
+    lowest-index tie-break, decimal(25,10) sums, empty-cluster
+    carry-forward), so the books are bit-identical to training each
+    subspace independently — the subspaces never interact; fusing only
+    changes how many times the corpus is read (m*(iters+1) passes down
+    to iters+1).  At 10^9 vectors that is the difference between 12
+    and 3 full scans for the default m=4, iters=2.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1, iters >= 0; got k={k}, iters={iters}")
+    init = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    if not init:
+        raise ValueError("empty embedding input")
+    dim = len(init[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    dsub = dim // m
+    books: list[dict[int, list[float]]] = [
+        {
+            i: [float(x) for x in r[vec_col]][j * dsub : (j + 1) * dsub]
+            for i, r in enumerate(init)
+        }
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        staged = _pq_staged(emb, m, dsub, id_col, vec_col)
+        darr = staged.select(
+            *[F.col(f"_s{j}") for j in range(m)],
+            *_pq_dist_arrays(books, m, ndp),
+        )
+        assigned = darr.select(
+            *[F.col(f"_s{j}") for j in range(m)],
+            *[_pq_code_col(j) for j in range(m)],
+        )
+        entries = F.expr(
+            "flatten(array("
+            + ",".join(
+                f"transform(_s{j},(v,i)->named_struct("
+                f"'sub',{j},'cluster',_c{j},"
+                "'dim',cast(i as int),'val',v))"
+                for j in range(m)
+            )
+            + "))"
+        )
+        stats = (
+            assigned.select(F.explode(entries).alias("e"))
+            .select("e.sub", "e.cluster", "e.dim", "e.val")
+            .groupBy("sub", "cluster", "dim")
+            .agg(
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(25,10)")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )  # m*k*dsub rows: driver-sized by construction
+        new: list[dict[int, list[float]]] = [{} for _ in range(m)]
+        for r in stats:
+            new[r["sub"]].setdefault(int(r["cluster"]), [0.0] * dsub)[
+                r["dim"]
+            ] = float(r["_s"]) / r["_n"]
+        books = [
+            {i: new[j].get(i, books[j][i]) for i in books[j]}
+            for j in range(m)
+        ]  # empty cluster keeps previous centroid
+    return books
+
+
 def pq_assign(
     emb: DataFrame,
     *,
@@ -715,10 +903,10 @@ def pq_assign(
     ``m`` nearest-centroid codes (``m * log2(k)`` bits instead of
     ``dim * 64``).
 
-    Training and assignment REUSE ``kmeans_assign`` verbatim per
-    subspace (same no-RNG init on the k smallest ids, same
-    decimal-exact centroid means, same rounded-distance argmin), so
-    the whole construction inherits its bit-reproducibility across
+    Training and assignment keep ``kmeans_assign``'s arithmetic
+    contract verbatim per subspace (same no-RNG init on the k smallest
+    ids, same decimal-exact centroid means, same rounded-distance
+    argmin), so the whole construction is bit-reproducible across
     runs, partitionings, and engines.
 
     Returns one row per vector: ``(id_col, code_0 .. code_{m-1},
@@ -727,39 +915,32 @@ def pq_assign(
     ``qerr`` is the summed per-subspace squared quantization error
     (the number PQ tuning sweeps over when choosing m and k).
 
-    Scale shape (10^9 vectors): per-subspace training shuffles carry
-    (cluster, dim) partial sums — driver-sized; assignment is a
-    broadcast-literal projection per subspace, and the ``m`` code
-    tables re-converge with ``id_col``-keyed joins of narrow (id,
-    code, dist) rows.  Vector payloads are never shuffled.
+    Scale shape (10^9 vectors): training reads the corpus once per
+    Lloyd iteration for ALL subspaces together (fused (sub, cluster,
+    dim) decimal shuffle, driver-sized result — see
+    ``_train_pq_codebooks``), and assignment emits every subspace's
+    code from ONE broadcast-literal projection — no per-subspace
+    passes, no id-keyed re-join of code tables, vector payloads never
+    shuffled.
     """
-    dim_row = emb.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("empty embedding input")
-    dim = dim_row["d"]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    out = None
+    books = _train_pq_codebooks(
+        emb, m, k, iters, id_col=id_col, vec_col=vec_col, ndp=ndp
+    )
+    dsub = len(books[0][0])
+    staged = _pq_staged(emb, m, dsub, id_col, vec_col)
+    darr = staged.select(F.col(id_col), *_pq_dist_arrays(books, m, ndp))
+    assigned = darr.select(
+        F.col(id_col),
+        *[_pq_code_col(j) for j in range(m)],
+        *[_pq_dist_col(j) for j in range(m)],
+    )
     err = None
     for j in range(m):
-        sub = emb.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
-        )
-        a = kmeans_assign(
-            sub, k=k, iters=iters, id_col=id_col, vec_col="_sub", ndp=ndp
-        ).select(
-            id_col,
-            F.col("cluster").alias(f"code_{j}"),
-            F.col("dist").alias(f"_d{j}"),
-        )
-        out = a if out is None else out.join(a, id_col)
         term = F.col(f"_d{j}")
         err = term if err is None else err + term
-    return out.select(
+    return assigned.select(
         id_col,
-        *[F.col(f"code_{j}") for j in range(m)],
+        *[F.col(f"_c{j}").cast("long").alias(f"code_{j}") for j in range(m)],
         F.round(err, ndp).alias("qerr"),
     )
 
@@ -784,10 +965,10 @@ def pq_adc_topk(
     approximate squared-L2 distance is ``m`` table lookups summed —
     never a full-dimension dot product per candidate.
 
-    Codebooks come from ``train_kmeans_centroids`` per sliced subspace
-    (same deterministic contract as ``pq_assign``; the codes computed
-    here are bitwise-identical to its).  Codes are assigned in a
-    SINGLE projection (the slice/argmin expressions inline — no
+    Codebooks come from the fused one-scan-per-iteration trainer
+    shared with ``pq_assign`` (``_train_pq_codebooks``; the codes
+    computed here are bitwise-identical to its).  Codes are assigned
+    in a SINGLE projection (the slice/argmin expressions inline — no
     per-subspace joins), and per-query tables are unrounded driver
     doubles (Python's left-to-right fold is bit-identical to the
     engines' sequential fold), so the summed distance rounds the same
@@ -805,65 +986,18 @@ def pq_adc_topk(
     convention shared with lsh/ivf_topk); a large query batch would
     broadcast-join a table of tables instead.
     """
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("empty embedding input")
-    dim = dim_row["d"]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-
-    books: list[dict[int, list[float]]] = []
-    for j in range(m):
-        sub = embeddings.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
-        )
-        books.append(
-            train_kmeans_centroids(
-                sub, k, iters, id_col=id_col, vec_col="_sub", ndp=ndp
-            )
-        )
-
-    staged = embeddings.select(
+    books = _train_pq_codebooks(
+        embeddings, m, k, iters, id_col=id_col, vec_col=vec_col, ndp=ndp
+    )
+    dsub = len(books[0][0])
+    staged = _pq_staged(embeddings, m, dsub, id_col, vec_col)
+    darr = staged.select(
+        F.col(id_col), *_pq_dist_arrays(books, m, ndp)
+    )
+    codes = darr.select(
         F.col(id_col),
-        *[
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(f"_s{j}")
-            for j in range(m)
-        ],
+        *[_pq_code_col(j).alias(f"code_{j}") for j in range(m)],
     )
-    staged = staged.select(
-        id_col,
-        *[F.col(f"_s{j}") for j in range(m)],
-        *[
-            dot(F.col(f"_s{j}"), F.col(f"_s{j}")).alias(f"_vv{j}")
-            for j in range(m)
-        ],
-    )
-
-    def code_col(j: int):
-        cents = books[j]
-        dists = [
-            F.round(
-                F.col(f"_vv{j}")
-                - 2.0
-                * dot(
-                    F.col(f"_s{j}"),
-                    F.array(*[F.lit(x) for x in cents[i]]),
-                )
-                + F.lit(sum(x * x for x in cents[i])),
-                ndp,
-            )
-            for i in sorted(cents)
-        ]
-        arr = F.array(*dists)
-        return (
-            (F.array_position(arr, F.array_min(arr)) - 1)
-            .cast("int")
-            .alias(f"code_{j}")
-        )
-
-    codes = staged.select(id_col, *[code_col(j) for j in range(m)])
 
     # bounded driver collect: queries ride the driver as literal
     # tables, so the batch size is capped loudly instead of letting an
