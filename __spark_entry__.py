@@ -1108,7 +1108,7 @@ def q_semdedup_keep(spark, sf):
     replays clustering + pairs + a recursive transitive closure."""
     from dandi_s3_log_parser_spark.operators.similarity import semdedup_keep
 
-    return semdedup_keep(_load(spark, sf, "embeddings"), 0.3, k=8, iters=2)
+    return semdedup_keep(_load(spark, sf, "embeddings"), 0.3, k=32, iters=2)
 
 
 def q_snapshot_delta(spark, sf):
@@ -1173,11 +1173,13 @@ def q_kmeans_assign(spark, sf):
 
 def q_semdedup_pairs(spark, sf):
     """SemDeDup: cosine >= 0.3 near-dup pairs within k-means cells
-    (k=8, 2 iterations).  The oracle replays the full clustering in
-    SQL and recomputes every intra-cell cosine."""
+    (k=32, 2 iterations; k grew 8->32 in round 5 — more, smaller
+    cells is the method's own scale direction and quarters the
+    within-cell quadratic).  The oracle replays the full clustering
+    in SQL and recomputes every intra-cell cosine."""
     from dandi_s3_log_parser_spark.operators.similarity import semdedup_pairs
 
-    return semdedup_pairs(_load(spark, sf, "embeddings"), 0.3, k=8, iters=2)
+    return semdedup_pairs(_load(spark, sf, "embeddings"), 0.3, k=32, iters=2)
 
 
 def q_repeated_ngram_spans(spark, sf):
@@ -3209,7 +3211,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _pq_adc_oracle_sql(m=4, dsub=16, k=8, iters=2),
         # SemDeDup: replay the clustering, then every intra-cell cosine
         "semdedup_pairs": _kmeans_oracle_sql(
-            k=8,
+            k=32,
             iters=2,
             tail="""
             , pairs AS (
@@ -3231,7 +3233,7 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure + keep-lowest-id (WITH RECURSIVE spliced in
         # because the reach CTE is self-referential)
         "semdedup_keep": _kmeans_oracle_sql(
-            k=8,
+            k=32,
             iters=2,
             tail="""
             , pairs AS (
