@@ -137,11 +137,15 @@ def merge_region_cache(catalog, ip_map: DataFrame, table: str = "ip_region_cache
         view = f"_region_cache_updates_{uuid.uuid4().hex}"
         new.createOrReplaceTempView(view)
         try:
-            catalog.spark.sql(
+            # insert-only MERGE is idempotent under replay (a replayed
+            # commit finds the rows matched and inserts nothing), so
+            # unknown-state commits are safe to retry too
+            catalog.sql_with_commit_retry(
                 f"MERGE INTO {catalog._ident(table)} t "  # noqa: S608 — idents, not data
                 f"USING {view} s ON t.ip_hash = s.ip_hash "
                 "WHEN NOT MATCHED THEN INSERT (ip_hash, region) "
-                "VALUES (s.ip_hash, s.region)"
+                "VALUES (s.ip_hash, s.region)",
+                retry_unknown_state=True,
             )
         finally:
             catalog.spark.catalog.dropTempView(view)

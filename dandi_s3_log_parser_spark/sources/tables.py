@@ -18,7 +18,8 @@ On a real cluster, set ``iceberg_catalog`` to a configured catalog name
 and the same API writes `catalog.db.table` identifiers instead.
 
 Real-Iceberg status (attempted 2026-08-17, re-attempted 2026-08-17
-round 4: pyspark jar dir still has no iceberg artifact, a filesystem-wide
+round 4 and 2026-08-18 round 5: pyspark jar dir still has no iceberg
+artifact, ``/opt/spark/jars`` has none, a filesystem-wide
 ``*iceberg*jar*`` search finds nothing, and DNS resolution still fails
 for repo1.maven.org — no route to vendor the jar): no
 ``iceberg-spark-runtime`` jar ships with this sandbox's Spark
@@ -69,6 +70,52 @@ class Catalog:
 
     def _ident(self, name: str) -> str:
         return f"{self.iceberg_catalog}.db.{name}"
+
+    def sql_with_commit_retry(
+        self,
+        stmt: str,
+        *,
+        retries: int = 3,
+        retry_unknown_state: bool = False,
+    ):
+        """Run a statement with optimistic-concurrency commit retry —
+        the client contract every long-lived Iceberg deployment needs
+        around row-level operations (MERGE/DELETE/UPDATE):
+
+        * ``CommitFailedException``: another writer won the snapshot
+          race and the commit definitively did NOT land.  Iceberg
+          auto-retries only metadata-level races internally; a
+          row-level operation whose validation window was invalidated
+          by a concurrent commit must be RE-PLANNED from the new
+          snapshot — which re-issuing ``spark.sql`` does.  Always safe
+          to retry.
+        * ``CommitStateUnknownException``: the commit may or may not
+          have landed (e.g. a timeout talking to the catalog).  A
+          blind retry is only safe when the caller declares the
+          statement idempotent (``retry_unknown_state=True`` — e.g. an
+          insert-only MERGE, where a replay finds the rows matched and
+          inserts nothing).  Non-idempotent statements propagate the
+          error for the operator to reconcile.
+
+        Exceptions surface through py4j with the JVM class name in the
+        message, so matching is by name — same detection a JVM-side
+        handler would do by class.
+        """
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                return self.spark.sql(stmt)
+            except Exception as exc:  # noqa: BLE001 — py4j wraps JVM errors
+                msg = str(exc)
+                conflict = "CommitFailedException" in msg
+                unknown = "CommitStateUnknownException" in msg
+                if attempt < retries and (
+                    conflict or (unknown and retry_unknown_state)
+                ):
+                    last = exc
+                    continue
+                raise
+        raise last  # pragma: no cover — loop always returns or raises
 
     # -- read / write ---------------------------------------------------------
 
