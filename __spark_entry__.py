@@ -1800,6 +1800,25 @@ def q_bmp_decode(spark, sf):
     return decode_bmp_stats(media).orderBy("media_id")
 
 
+def q_gif_decode(spark, sf):
+    """Real (pure-stdlib) GIF codec path: synthetic standards-valid
+    LZW-compressed GIF89a payloads -> block-walk + variable-width LZW
+    decompression -> per-payload stats.  The oracle recomputes the
+    planted index sum as a double range sum over the pixel grid (never
+    parsing GIF), so an LZW bug cannot self-confirm."""
+    from dandi_s3_log_parser_spark.operators.multimodal import (
+        decode_gif_stats,
+        synthetic_gif_media,
+    )
+
+    media = synthetic_gif_media(spark, 300)
+    if _is_oracle_sf(sf):
+        _publish_exchange(
+            "gif_media", media.select("media_id", "payload").toPandas()
+        )
+    return decode_gif_stats(media).orderBy("media_id")
+
+
 def q_wav_decode(spark, sf):
     """Real (pure-stdlib) WAV codec path: synthetic standards-valid
     PCM-16 RIFF/WAVE payloads -> chunk-walk decode -> per-payload
@@ -1864,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "png_decode": q_png_decode,
         "bmp_decode": q_bmp_decode,
+        "gif_decode": q_gif_decode,
         "wav_decode": q_wav_decode,
         "repetition_metrics": q_repetition_metrics,
         "top_bigram_fraction": q_top_bigram_fraction,
@@ -2742,6 +2762,28 @@ def oracle_sql() -> dict[str, str]:
                            + ((media_id * 29) % 256)) AS BIGINT)
                        AS pixel_byte_sum
             FROM read_parquet('{_exchange_path("bmp_media")}')
+            ORDER BY media_id
+        """,
+        # real GIF decode verified arithmetically (synthetic_gif_media
+        # docstring): width/height/base index are planted pure
+        # functions of media_id; the first-frame palette-index sum is
+        # the double range sum over the (x, y) grid — the oracle never
+        # parses GIF or LZW
+        "gif_decode": f"""
+            SELECT media_id,
+                   CAST(octet_length(payload) AS BIGINT) AS byte_len,
+                   CAST(5 + media_id % 11 AS INT) AS width,
+                   CAST(4 + media_id % 7 AS INT) AS height,
+                   CAST(4 AS INT) AS n_colors,
+                   CAST((5 + media_id % 11) * (4 + media_id % 7)
+                        AS BIGINT) AS n_pixels,
+                   CAST(list_aggregate(flatten(list_transform(
+                            range(0, 5 + media_id % 11),
+                            x -> list_transform(
+                                range(0, 4 + media_id % 7),
+                                y -> ((media_id % 4) + x + y) % 4))),
+                        'sum') AS BIGINT) AS index_sum
+            FROM read_parquet('{_exchange_path("gif_media")}')
             ORDER BY media_id
         """,
         # real WAV decode verified arithmetically (synthetic_wav_media

@@ -178,6 +178,7 @@ HEADLINE_QUERIES = (
     "oov_rate",
     "unigram_logprob",
     "png_decode",
+    "gif_decode",
     "asof_join",
     "dsir_importance",
     "rolling_anomaly",

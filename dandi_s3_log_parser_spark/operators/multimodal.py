@@ -6,7 +6,9 @@ the Spark-side contract (schema, batch shape, partitioning) is real and
 tested even though most codec libraries are absent in this container.
 
 STUB BOUNDARY: ``decode_fn='real'`` genuinely decodes **PNG** (IHDR
-header + zlib-inflated IDAT — :func:`_decode_png`), **BMP** (24-bit
+header + zlib-inflated IDAT — :func:`_decode_png`), **GIF** (variable-
+width LZW decompression per GIF89a Appendix F — :func:`_decode_gif`),
+**BMP** (24-bit
 uncompressed, padded bottom-up rows — :func:`_decode_bmp`) and
 **PCM-16 WAV** (:func:`_decode_wav`) payloads with pure-stdlib parsers
 and raises ``NotImplementedError`` for every other format — plug
@@ -219,6 +221,199 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
     return width, height, stride, stride * height, pixel_sum
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-flavor LZW compress (variable-width codes, LSB-first bit
+    packing, leading CLEAR, trailing EOI, code width grows when the
+    next free code would not fit, table reset at 4096) — the image
+    data layout of GIF89a Appendix F.  Pure stdlib."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    code_size = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder bumps its read width when ITS next free code
+            # reaches 2^size; the encoder sits one table entry ahead,
+            # so its bump condition is one later
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = mcs + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    """GIF-flavor LZW decompress — exact inverse of :func:`_lzw_encode`
+    and of every conformant GIF writer: handles mid-stream CLEAR,
+    the KwKwK case (code == next free), the 12-bit table cap, and a
+    stream that ends without an explicit EOI (ubiquitous in the wild;
+    the canonical 1x1 'transparent pixel' GIF does this)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    code_size = mcs + 1
+    big = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    pos = 0
+    roots = [bytes([i]) for i in range(clear)]
+    table = roots + [b"", b""]  # CLEAR/EOI placeholders keep len == next code
+    prev: bytes | None = None
+    out = bytearray()
+    while pos + code_size <= total_bits:
+        code = (big >> pos) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            table = roots + [b"", b""]
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or prev is not None):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def make_gif(width: int, height: int, base_index: int) -> bytes:
+    """Minimal standards-valid GIF89a (pure stdlib) — 4-entry global
+    color table, one non-interlaced image whose pixel INDEX at (x, y)
+    is ``(base_index + x + y) % 4`` (a diagonal gradient: exercises
+    real LZW dictionary growth, unlike a constant image), LZW-encoded
+    per the spec with proper 255-byte sub-block framing."""
+    indices = bytes(
+        (base_index + x + y) % 4
+        for y in range(height)
+        for x in range(width)
+    )
+    lzw = _lzw_encode(indices, 2)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    gct = b"".join(
+        bytes(((j * 85) % 256, (255 - j * 85) % 256, (j * 40) % 256))
+        for j in range(4)
+    )
+    return (
+        GIF_MAGICS[1]
+        + struct.pack("<HH", width, height)
+        + bytes([0x80 | 0x01])  # GCT present, 2^(1+1)=4 entries
+        + b"\x00\x00"  # background index, aspect ratio
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"  # no local table, not interlaced
+        + bytes([2])  # LZW minimum code size
+        + blocks
+        + b"\x00"  # sub-block terminator
+        + b"\x3b"
+    )
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Real pure-stdlib GIF decode: ``(width, height, gct_entries,
+    n_pixels, index_sum)`` for the FIRST image frame.
+
+    Walks the logical screen descriptor and global color table, skips
+    extension blocks (graphic control, comments, application), then
+    LZW-decompresses the first image's index stream and sums the
+    palette indices — a statistic the planted-arithmetic oracle
+    recomputes without any GIF parsing, so a decoder bug cannot
+    self-confirm.  Raises ``ValueError`` on non-GIF bytes, interlaced
+    images, or a pixel-count mismatch against the image descriptor.
+    """
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    gct_n = 0
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x07)
+        pos += 3 * gct_n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF has no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        _, _, iw, ih = struct.unpack("<HHHH", payload[pos : pos + 8])
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if ipacked & 0x80:  # local color table
+            pos += 3 * (2 << (ipacked & 0x07))
+        mcs = payload[pos]
+        pos += 1
+        chunks = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            chunks += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        indices = _lzw_decode(bytes(chunks), mcs)
+        if len(indices) < iw * ih:
+            raise ValueError(
+                f"LZW underrun: {len(indices)} of {iw * ih} pixels"
+            )
+        indices = indices[: iw * ih]  # tolerate padding past the frame
+        return width, height, gct_n, iw * ih, sum(indices)
+    raise ValueError("truncated GIF")
+
+
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, int]:
     """Deterministic fake decode: stable pseudo-dimensions from content."""
     h = hashlib.sha256(payload).digest()
@@ -250,9 +445,12 @@ def decode_media(media: DataFrame, *, decode_fn: str = "fake") -> DataFrame:
         if payload[:2] == BMP_MAGIC:
             width, height, _, _, _ = _decode_bmp(payload)
             return width, height, 0, 1
+        if payload[:6] in GIF_MAGICS:
+            width, height, _, _, _ = _decode_gif(payload)
+            return width, height, 0, 1
         raise NotImplementedError(
-            "real decoding is implemented in pure stdlib for PNG, BMP "
-            "and PCM-16 WAV only; other formats (JPEG, compressed "
+            "real decoding is implemented in pure stdlib for PNG, BMP, "
+            "GIF and PCM-16 WAV only; other formats (JPEG, compressed "
             "audio/video) require codec libraries (Pillow/ffmpeg) that "
             "are not installed — use decode_fn='fake' for those"
         )
@@ -474,6 +672,70 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches_fn, schema=BMP_STATS_SCHEMA)
+
+
+GIF_STATS_SCHEMA = (
+    "media_id long, byte_len long, width int, height int, "
+    "n_colors int, n_pixels long, index_sum long"
+)
+
+
+def synthetic_gif_media(spark, n: int) -> DataFrame:
+    """Distributed generator of REAL (standards-valid, LZW-compressed)
+    GIF89a payloads with planted parameters — closed-form in
+    ``media_id`` so the oracle recomputes every decoded statistic
+    without a GIF parser:
+
+    * ``width  = 5 + media_id % 11``
+    * ``height = 4 + media_id % 7``
+    * pixel index at (x, y) = ``(media_id % 4 + x + y) % 4``, hence
+      ``index_sum = sum over the x/y grid`` (the oracle evaluates the
+      double range sum directly) and ``n_pixels = width * height``;
+      ``n_colors`` is always the 4-entry global table.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads = [
+                make_gif(5 + int(i) % 11, 4 + int(i) % 7, int(i) % 4)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/gif",
+                    "source_url": [f"synthetic://gif/{i}" for i in ids],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_gif_stats(media: DataFrame) -> DataFrame:
+    """Real GIF decode over a media table (Arrow-batched mapInPandas):
+    screen/palette header fields plus LZW-decompressed first-frame
+    index statistics per payload.  Fails loudly on non-GIF bytes."""
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_decode_gif(p) for p in pdf["payload"]]
+            arr = np.array(stats, dtype=np.int64).reshape(len(pdf), 5)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": pdf["payload"].str.len().astype("int64"),
+                    "width": arr[:, 0].astype("int32"),
+                    "height": arr[:, 1].astype("int32"),
+                    "n_colors": arr[:, 2].astype("int32"),
+                    "n_pixels": arr[:, 3],
+                    "index_sum": arr[:, 4],
+                }
+            )
+
+    return media.mapInPandas(batches_fn, schema=GIF_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_index int, frame_ms long"
