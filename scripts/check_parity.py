@@ -8,6 +8,8 @@ the result with columns sorted by name and rows sorted canonically.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -65,6 +67,7 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -74,16 +77,22 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            report[name] = {"err": f"spark: {type(e).__name__}: {e}"[:500]}
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows ({el:.1f}s, no oracle)")
+            report[name] = {
+                "spark_rows": len(sdf), "oracle": None,
+                "secs": round(el, 1), "err": None,
+            }
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
+            report[name] = {"err": f"duckdb: {e}"[:500]}
             continue
         a, b = canon(sdf), canon(odf)
         ok_rows = len(a) == len(b)
@@ -95,11 +104,30 @@ def main() -> int:
         print(f"{status} {name}: spark={len(sdf)} oracle={len(odf)} "
               f"cols={'=' if ok_cols else 'DIFF'} hash={'=' if ok_hash else 'DIFF'} "
               f"({el:.1f}s)")
+        report[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(sdf),
+            "oracle_rows": len(odf), "secs": round(el, 1), "err": None,
+        }
         if not ok_hash and ok_rows and ok_cols:
             merged = a.compare(b) if a.shape == b.shape else None
             if merged is not None and not merged.empty:
                 print(merged.head(5))
     print(f"\n{len(failures)} failures: {failures}")
+    out = os.environ.get("PARITY_OUT")
+    if out:
+        payload = {
+            "sf_dir": SF_DIR,
+            "generated_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "n_queries": len(report),
+            "n_failures": len(failures),
+            "failures": failures,
+            "queries": report,
+        }
+        Path(out).write_text(json.dumps(payload, indent=1))
+        print(f"wrote {out}")
     return 1 if failures else 0
 
 
