@@ -253,7 +253,7 @@ def test_decode_media_real_handles_png_and_rejects_others(spark):
         [(1, "image", bytearray(b"\xff\xd8\xff\xe0 not png"), "image/jpeg", "u")],
         "media_id long, kind string, payload binary, mime string, source_url string",
     )
-    with pytest.raises(Exception, match="PNG and"):
+    with pytest.raises(Exception, match="pure stdlib"):
         decode_media(jpeg_like, decode_fn="real").collect()
 
 
