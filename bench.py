@@ -52,15 +52,25 @@ def _ensure_bench_pages(spark, n_pages: int, seed: int = 42):
     # (driver-side generator, INT96 timestamps) are never served
     path = WORK / f"bench_pages_v2_n{n_pages}_s{seed}"
     dims_path = WORK / f"bench_dims_v2_n{n_pages}_s{seed}"
+    dim_names = (
+        "assets", "cidr_ranges", "ip_region_cache", "geo_fallback",
+        "excluded_ips",
+    )
     if not (path / "_SUCCESS").exists():
         pages = generate_pages_spark(spark, n_pages, seed)
-        _, dims = to_spark(spark, generate(0, seed))
         pages.write.mode("overwrite").parquet(str(path))
+    # dims cache checked independently of pages: they depend only on the
+    # seed and regenerate in seconds, and a pages cache surviving a dims
+    # cleanup used to crash the read below with a missing-path error
+    if not all(
+        (dims_path / name / "_SUCCESS").exists() for name in dim_names
+    ):
+        _, dims = to_spark(spark, generate(0, seed))
         for name, df in dims.items():
             df.write.mode("overwrite").parquet(str(dims_path / name))
     dims = {
         name: spark.read.parquet(str(dims_path / name))
-        for name in ("assets", "cidr_ranges", "ip_region_cache", "geo_fallback", "excluded_ips")
+        for name in dim_names
     }
     return spark.read.parquet(str(path)), dims
 
