@@ -274,7 +274,7 @@ def minhash_dedup(
     consumers read the committed files (which also survive for any
     later dedup/fingerprint pass over the same corpus snapshot).
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = _shuffle_partitions(df.sparkSession)
     sh = (
         with_shingles(df, text_col, shingle_n)
         .select(F.col(id_col).alias("id"), "sh")

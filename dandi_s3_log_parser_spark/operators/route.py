@@ -77,7 +77,9 @@ def route_binned(
             ),
         }
     )
-    n = shuffle_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from .dedup import _shuffle_partitions
+
+    n = shuffle_partitions or _shuffle_partitions(df.sparkSession)
     df = df.repartition(n, *extra_cluster_cols, "key_parent", "_salt")
     df = df.sortWithinPartitions("object_key", "timestamp")
     return df.select(
