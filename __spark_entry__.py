@@ -1494,6 +1494,46 @@ def q_pagerank(spark, sf):
     return pagerank(edges, iters=4).orderBy("node")
 
 
+def q_hits(spark, sf):
+    """4-iteration HITS hubs/authorities over a host graph synthesized
+    per-doc on BOTH engines: src = doc_id % 29, dst = (doc_id*5 + 2)
+    % 31 — the ranges differ so some nodes are dst-only (hub 0) and
+    the two score vectors genuinely diverge."""
+    from dandi_s3_log_parser_spark.operators.graph import hits
+
+    d = _load(spark, sf, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 29).cast("long").alias("src"),
+        ((F.col("doc_id") * 5 + 2) % 31).cast("long").alias("dst"),
+    )
+    return hits(edges, iters=4).orderBy("node")
+
+
+def q_containment_dedup(spark, sf):
+    """Asymmetric containment near-dup over the documents table plus
+    synthesized excerpts: every doc_id % 5 == 0 doc contributes a
+    derived doc (id + 1,000,000) whose text is its first 5 whitespace
+    tokens — a quote/snippet whose shingles are fully contained in the
+    parent (containment 1.0 one way, low the other), the case
+    symmetric Jaccard misses.  The oracle recomputes exact containment
+    over ALL pairs; candidate recall is exactly 1 here because no
+    shingle's document frequency approaches the df_cap at oracle sf."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        containment_near_dup,
+    )
+
+    d = _load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    excerpts = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("text"),
+    )
+    corpus = d.unionByName(excerpts)
+    return containment_near_dup(corpus, threshold=0.8, n=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_incremental_dedup(spark, sf):
     """Incremental crawl dedup: odd-id docs are the NEW snapshot,
     even-id docs the EXISTING corpus; each new doc gets its lowest
@@ -1922,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "incremental_dedup": q_incremental_dedup,
         "pagerank": q_pagerank,
+        "hits": q_hits,
+        "containment_dedup": q_containment_dedup,
         "curation_funnel": q_curation_funnel,
         "boilerplate_strip": q_boilerplate_strip,
         "approx_quantiles": q_approx_quantiles,
@@ -2010,6 +2052,66 @@ def _pagerank_oracle_sql(iters: int = 4, ndp: int = 8) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT node, rank FROM r{iters} ORDER BY node"
+    )
+
+
+def _hits_oracle_sql(iters: int = 4, ndp: int = 8) -> str:
+    """Unrolled HITS iterations mirroring operators/graph.hits exactly:
+    same edge synthesis (self-loops dropped, distinct), scores summed
+    as exact DECIMAL(20,8), each normalization = coalesce-to-0 double
+    division by the exact-decimal total cast to double, then round to
+    ``ndp``.  hub0 = 1.0 (unnormalized, as in the operator).
+
+    Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    each iteration references the previous one several times (the
+    propagate join + the normalization's scalar-subquery total), so
+    inlining re-evaluates the chain combinatorially — the unrolled
+    4-iteration query never finishes without materialization."""
+    ctes = [
+        """e AS MATERIALIZED (
+            SELECT DISTINCT CAST(doc_id % 29 AS BIGINT) AS src,
+                   CAST((doc_id * 5 + 2) % 31 AS BIGINT) AS dst
+            FROM documents
+            WHERE doc_id % 29 <> (doc_id * 5 + 2) % 31
+        ), nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst FROM e)
+        ), h0 AS MATERIALIZED (
+            SELECT node, 1.0 AS score FROM nodes
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""ar{k} AS MATERIALIZED (
+            SELECT e.dst AS node,
+                   sum(CAST(h.score AS DECIMAL(20,8))) AS s
+            FROM e JOIN h{k - 1} h ON h.node = e.src
+            GROUP BY e.dst
+        ), a{k} AS MATERIALIZED (
+            SELECT n.node,
+                   round(COALESCE(CAST(r.s AS DOUBLE), 0.0)
+                         / (SELECT CAST(sum(s) AS DOUBLE) FROM ar{k}),
+                         {ndp}) AS score
+            FROM nodes n LEFT JOIN ar{k} r ON r.node = n.node
+        ), hr{k} AS MATERIALIZED (
+            SELECT e.src AS node,
+                   sum(CAST(a.score AS DECIMAL(20,8))) AS s
+            FROM e JOIN a{k} a ON a.node = e.dst
+            GROUP BY e.src
+        ), h{k} AS MATERIALIZED (
+            SELECT n.node,
+                   round(COALESCE(CAST(r.s AS DOUBLE), 0.0)
+                         / (SELECT CAST(sum(s) AS DOUBLE) FROM hr{k}),
+                         {ndp}) AS score
+            FROM nodes n LEFT JOIN hr{k} r ON r.node = n.node
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT h.node, h.score AS hub, a.score AS auth
+        FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+        ORDER BY h.node"""
     )
 
 
@@ -3484,6 +3586,40 @@ def oracle_sql() -> dict[str, str]:
         """.format(toks_lower=toks_lower),
         # PageRank: full unrolled recompute (see _pagerank_oracle_sql)
         "pagerank": _pagerank_oracle_sql(4),
+        "hits": _hits_oracle_sql(4),
+        # exact containment over ALL pairs of the doc+excerpt corpus:
+        # equality with the operator's candidate-join output holds
+        # because no shingle's df approaches df_cap at oracle sf, so
+        # candidate recall is exactly 1 (any pair sharing >= 1 gram is
+        # generated; pairs sharing none have containment 0 < 0.8)
+        "containment_dedup": f"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       array_to_string(
+                           ({_TOKENS.format(col="text")})[1:5], ' ')
+                FROM documents WHERE doc_id % 5 = 0
+            ), toks AS (
+                SELECT doc_id, {_TOKENS.format(col="lower(text)")} AS t
+                FROM base
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 1)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       )) AS grams
+                FROM toks WHERE len(t) >= 3
+            )
+            SELECT id_a, id_b, containment FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(CAST(len(list_intersect(a.grams, b.grams))
+                                  AS DOUBLE) / len(a.grams), 4)
+                           AS containment
+                FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            ) WHERE containment >= 0.8
+            ORDER BY id_a, id_b
+        """,
         # incremental crawl dedup: exact recompute of ALL cross-side
         # 3-gram Jaccard pairs (odd = new, even = corpus); the in-query
         # recall-1 guard makes LSH output == exact output on the fixture

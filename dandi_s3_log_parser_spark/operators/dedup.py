@@ -765,3 +765,98 @@ def snapshot_delta(
         "prev_digest",
         "new_digest",
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup (excerpt / quote-inclusion detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_near_dup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    df_cap: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ordered near-dup pairs by n-gram CONTAINMENT:
+    ``C(a -> b) = |S(a) & S(b)| / |S(a)|`` (Broder 1997's second
+    resemblance measure).  Returns ``(id_a, id_b, containment)`` for
+    every ordered pair ``id_a != id_b`` with ``containment >=
+    threshold`` — the asymmetric relation symmetric Jaccard dedup
+    misses: a short excerpt quoted inside a long page has tiny Jaccard
+    (union is dominated by the long side) but containment ~1, and
+    "drop the contained side" is the curation policy that removes
+    syndicated snippets without touching the canonical page.
+
+    Scale shape (10^12 docs):
+
+    - shingles become 8-byte ``xxhash64`` digests immediately — the
+      candidate exchange carries (digest, id), never gram text
+      (collision odds at 64 bits are ~n^2/2^65 per posting list,
+      negligible and deterministic);
+    - postings with document frequency > ``df_cap`` are dropped BEFORE
+      the self-join (boilerplate grams would otherwise contribute
+      df^2 join rows); the cap bounds any digest's join fan-out at
+      df_cap^2, the standard candidate-generation guard.  A pair whose
+      ONLY shared grams are ultra-common is missed — acceptable,
+      because containment evidenced solely by boilerplate is exactly
+      the false-positive class the cap exists to kill;
+    - candidates are DISTINCT (id_a, id_b) pairs from the postings
+      join, then verified EXACTLY: both sides' full shingle arrays are
+      joined back in (candidate-sized join, not corpus-sized) and the
+      true intersection over the FULL sets — common grams included —
+      is computed with one ``array_intersect`` per pair, so the
+      reported containment is exact, never an estimate.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"need 0 < threshold <= 1; got {threshold}")
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(F.col(id_col).alias("id"), "sh")
+        .filter(F.size("sh") > 0)
+    )
+    posts = sh.select(
+        "id", F.explode("sh").alias("_g")
+    ).select("id", F.xxhash64("_g").alias("_d"))
+    rare = posts.join(
+        posts.groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("_d"),
+        "_d",
+    )
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a._d") == F.col("b._d"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size("_sa"),
+                4,
+            ).alias("containment"),
+        )
+    )
+    return verified.filter(F.col("containment") >= threshold)

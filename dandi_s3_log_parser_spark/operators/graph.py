@@ -130,3 +130,105 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ndp: int = 8,
+) -> DataFrame:
+    """Kleinberg HITS hubs & authorities, fixed iterations,
+    sum-normalized — the link-graph complement to :func:`pagerank`
+    (hub = links to good content, authority = linked by good hubs; a
+    crawl frontier prioritizes high-authority hosts, a spam filter
+    flags high-hub/low-authority link farms).
+
+    Per iteration: ``auth(v) = sum over u->v of hub(u)`` then
+    normalized to sum 1; ``hub(u) = sum over u->v of auth(v)`` then
+    normalized to sum 1 (sum-normalization instead of the classical
+    L2: same fixpoint direction, but exactly replayable in SQL —
+    sqrt of a sum is not on any decimal grid).  Self-loops and
+    duplicate edges are dropped first.  Returns ``(node, hub, auth)``
+    for every node appearing as src or dst.
+
+    Determinism contract (mirrors :func:`pagerank`): scores live on an
+    ``ndp``-decimal grid, per-edge contributions are summed EXACTLY as
+    decimals (never a partition-order double sum), and each
+    normalization divides two exact decimals in IEEE double then
+    rounds back to the grid — bit-identical across partitionings,
+    cluster sizes, and engines.
+
+    Scale shape (10^11-edge web graph): per iteration two narrow
+    edge->score equi-joins and two node-keyed aggregations — the same
+    shuffle profile as one PageRank iteration, with the (node, score)
+    frontier localCheckpointed so the lineage stays O(1) deep.
+    """
+    if iters < 0:
+        raise ValueError(f"need iters >= 0; got {iters}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.isEmpty():
+        return nodes.select(
+            "node",
+            F.lit(None).cast("double").alias("hub"),
+            F.lit(None).cast("double").alias("auth"),
+        )
+    hub = nodes.select("node", F.lit(1.0).alias("score"))
+    auth = None
+
+    def _propagate(scores, key_in, key_out):
+        """Sum `scores` over edges into `key_out` side, normalized."""
+        raw = (
+            e.join(
+                scores.withColumnRenamed("node", key_in), key_in
+            )
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(
+                F.sum(F.col("score").cast("decimal(20,8)")).alias("_s")
+            )
+        )
+        total = float(
+            raw.agg(F.sum("_s").cast("double")).first()[0]
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
+                    / F.lit(total),
+                    ndp,
+                ).alias("score"),
+            )
+            .localCheckpoint()
+        )
+
+    for _ in range(iters):
+        auth = _propagate(hub, "src", "dst")
+        hub = _propagate(auth, "dst", "src")
+    if auth is None:  # iters == 0: classical all-ones init, normalized
+        n = nodes.count()
+        hub = nodes.select(
+            "node", F.round(F.lit(1.0) / n, ndp).alias("score")
+        )
+        auth = hub
+    return (
+        hub.withColumnRenamed("score", "hub")
+        .join(auth.withColumnRenamed("score", "auth"), "node")
+        .select("node", "hub", "auth")
+    )
