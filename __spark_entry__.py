@@ -1077,6 +1077,28 @@ def q_tfidf_top_terms(spark, sf):
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
+_BM25_QUERIES = [
+    (0, "hash join spark"),
+    (1, "window agg batch"),
+    (2, "slow scan filter"),
+    (3, "vector stream merge sort"),
+]
+
+
+def q_bm25_topk(spark, sf):
+    """Okapi BM25 top-10 per query (k1=1.2, b=0.75, Lucene idf) for 4
+    driver-literal queries against the full documents corpus — the
+    retrieval-serving shape (decontamination probes, targeted audits).
+    Per-term contributions land on a 12-decimal grid and are summed as
+    exact decimals, so both engines rank the identical score."""
+    from dandi_s3_log_parser_spark.operators.retrieval import bm25_topk
+
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return bm25_topk(
+        _load(spark, sf, "documents"), q, k=10
+    )
+
+
 def q_dsir_importance(spark, sf):
     """DSIR importance scores: target-domain sample = docs with
     doc_id % 5 == 0, scored corpus = all docs.  Laplace-smoothed
@@ -1946,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_corpus": q_upsample_corpus,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_topk": q_bm25_topk,
         "select_budget": q_select_budget,
         "temperature_weights": q_temperature_weights,
         "repeated_ngram_spans": q_repeated_ngram_spans,
@@ -3251,6 +3274,68 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5 AND doc_id < 40
             ORDER BY doc_id, rank
         """.format(toks_lower=toks_lower),
+        # Okapi BM25 serving: full recompute — tf/dl/avgdl over the
+        # whole corpus, Lucene idf over query terms only, per-term
+        # contributions rounded to 12 dp and summed as exact decimals
+        # (mirrors operators/retrieval.bm25_topk's grid contract),
+        # rounded-score ranking with doc_id tie-break
+        "bm25_topk": """
+            WITH q(query_id, query) AS (VALUES {bm25_values}
+            ), toks AS (
+                SELECT doc_id, unnest({toks_lower}) AS term FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT _n, _t / _n AS _avgdl FROM (
+                    SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                               AS _n,
+                           CAST((SELECT coalesce(sum(dl), 0) FROM dl)
+                               AS DOUBLE) AS _t)
+            ), qt AS (
+                SELECT DISTINCT query_id,
+                       unnest({qtoks_lower}) AS term
+                FROM q
+            ), dfl AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS _df
+                FROM tf WHERE term IN (SELECT term FROM qt)
+                GROUP BY term
+            ), qi AS (
+                SELECT query_id, qt.term,
+                       ln(1.0 + (_n - _df + 0.5) / (_df + 0.5)) AS _idf
+                FROM qt JOIN dfl USING (term) CROSS JOIN stats
+            ), contrib AS (
+                SELECT query_id, tf.doc_id,
+                       CAST(round(_idf * (tf.tf * 2.2)
+                                  / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl.dl / _avgdl)), 12)
+                            AS DECIMAL(28,12)) AS _c
+                FROM tf JOIN dl USING (doc_id) JOIN qi USING (term)
+                CROSS JOIN stats
+            ), scored AS (
+                SELECT query_id, doc_id,
+                       round(CAST(sum(_c) AS DOUBLE), 6) AS score
+                FROM contrib GROUP BY query_id, doc_id
+            ), ranked AS (
+                SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                       score,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT query_id, doc_id, score, rank FROM ranked
+            WHERE rank <= 10
+            ORDER BY query_id, rank
+        """.format(
+            toks_lower=toks_lower,
+            qtoks_lower=_TOKENS.format(col="lower(query)"),
+            bm25_values=", ".join(
+                f"({i}, '{s}')" for i, s in _BM25_QUERIES
+            ),
+        ),
         # token-budget selection: the oracle IS the naive global ordered
         # cumsum the Spark side deliberately avoids — keep iff the
         # inclusive running token sum fits in the 12k budget

@@ -179,6 +179,7 @@ HEADLINE_QUERIES = (
     "upsample_corpus",
     "vocab_topk",
     "tfidf_top_terms",
+    "bm25_topk",
     "select_budget",
     "repeated_ngram_spans",
     "kmeans_assign",
@@ -196,6 +197,8 @@ HEADLINE_QUERIES = (
     "domain_blocklist",
     "incremental_dedup",
     "pagerank",
+    "hits",
+    "containment_dedup",
     "event_funnel",
     "boilerplate_strip",
     "interval_overlap_join",
