@@ -1218,6 +1218,20 @@ def q_repeated_ngram_spans(spark, sf):
     )
 
 
+def q_remove_repeated_spans(spark, sf):
+    """Apply exact-substring dedup: rebuild each document's text with
+    cross-document repeated 5-token spans cut out (touched docs are
+    whitespace-normalized by contract; untouched pass through
+    byte-identical with n_removed = 0)."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    return remove_repeated_spans(
+        _load(spark, sf, "documents"), k=5, min_docs=2
+    ).orderBy("doc_id")
+
+
 def q_temperature_weights(spark, sf):
     """Temperature-based source mixing: p_i ~ n_i^0.3 over per-source
     token sums (XLM-R scheme).  One map-side-combined aggregate to a
@@ -1972,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_budget": q_select_budget,
         "temperature_weights": q_temperature_weights,
         "repeated_ngram_spans": q_repeated_ngram_spans,
+        "remove_repeated_spans": q_remove_repeated_spans,
         "kmeans_assign": q_kmeans_assign,
         "semdedup_pairs": q_semdedup_pairs,
         "url_canonicalize": q_url_canonicalize,
@@ -3429,6 +3444,53 @@ def oracle_sql() -> dict[str, str]:
             FROM grp GROUP BY doc_id, island
             ORDER BY doc_id, span_start
         """.format(toks_lower=toks_lower),
+        # span REMOVAL: same detection chain as repeated_ngram_spans,
+        # then coverage = union of hit windows' positions (identical to
+        # merged-island coverage), original-case tokens minus covered
+        # indices rejoined with single spaces; untouched docs keep the
+        # raw text byte-identical
+        "remove_repeated_spans": """
+            WITH t AS (
+                SELECT doc_id, {toks_lower} AS toks FROM documents
+            ), wins AS (
+                SELECT doc_id, i.i - 1 AS pos,
+                       substr(sha256(
+                           array_to_string(toks[i.i : i.i + 4], ' ')),
+                           1, 16) AS g
+                FROM t, unnest(range(1, len(toks) - 5 + 2)) AS i(i)
+                WHERE len(toks) >= 5
+            ), rep AS (
+                SELECT g FROM wins
+                GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT doc_id, pos FROM wins
+                WHERE g IN (SELECT g FROM rep)
+            ), cov AS (
+                SELECT doc_id, list(DISTINCT pos + j.j) AS ps
+                FROM hits, unnest(range(0, 5)) AS j(j)
+                GROUP BY doc_id
+            ), orig AS (
+                SELECT doc_id, text,
+                       {toks_orig} AS otoks
+                FROM documents
+            )
+            SELECT o.doc_id,
+                   CASE WHEN c.doc_id IS NULL THEN o.text
+                        -- coalesce: DuckDB's array_to_string of an
+                        -- EMPTY list is NULL; Spark's array_join is ''
+                        ELSE coalesce(array_to_string(list_filter(
+                             o.otoks,
+                             (x, i) -> NOT list_contains(c.ps, i - 1)),
+                             ' '), '')
+                   END AS text,
+                   CAST(CASE WHEN c.doc_id IS NULL THEN 0
+                             ELSE len(c.ps) END AS BIGINT) AS n_removed
+            FROM orig o LEFT JOIN cov c ON c.doc_id = o.doc_id
+            ORDER BY o.doc_id
+        """.format(
+            toks_lower=toks_lower,
+            toks_orig=_TOKENS.format(col="text"),
+        ),
         # k-means: both Lloyd's iterations unrolled in SQL (see
         # _kmeans_oracle_sql for the exact-arithmetic contract)
         "kmeans_assign": _kmeans_oracle_sql(k=8, iters=2),

@@ -860,3 +860,68 @@ def containment_near_dup(
         )
     )
     return verified.filter(F.col("containment") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span removal (the apply half of exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    *,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut cross-document repeated token spans OUT of the text — the
+    apply half of exact-substring deduplication (Lee et al. 2022
+    remove the duplicated substring, not the document; detection is
+    :func:`repeated_ngram_spans`, which this calls unless precomputed
+    ``spans`` are passed in).
+
+    Returns ``(id, text, n_removed)``.  A touched document's text is
+    rebuilt from its ORIGINAL-case whitespace tokens with covered
+    positions dropped, single-space joined — i.e. whitespace-normalized
+    (the tokenizer is whitespace-lossy by construction; position
+    indices still align with the detector's because lowercasing never
+    moves whitespace).  Untouched documents pass through byte-identical
+    with ``n_removed = 0``, so the operator never rewrites what it
+    did not edit.
+
+    Scale shape (10^12 docs): the spans table is corpus-fraction-sized
+    (only documents with cross-doc repeats) and per-doc span counts are
+    bounded by document length, so the ``collect_list`` per id is safe;
+    the apply is one id-keyed equi-join (AQE broadcasts the span side
+    when rare) plus a per-row narrow rebuild — the corpus text is
+    never shuffled.
+    """
+    if spans is None:
+        spans = repeated_ngram_spans(
+            docs, k=k, min_docs=min_docs, id_col=id_col, text_col=text_col
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    orig_toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    kept = F.filter(
+        orig_toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, " "))
+        .alias(text_col),
+        F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(F.size(orig_toks) - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -119,3 +119,66 @@ def test_containment_short_docs_never_pair(spark):
     never divide by zero)."""
     d = _docs(spark, [(1, "one two"), (2, "one two"), (3, "x y z w")])
     assert containment_near_dup(d, threshold=0.1, n=3).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_spans
+# ---------------------------------------------------------------------------
+
+from dandi_s3_log_parser_spark.operators.dedup import remove_repeated_spans
+
+
+def test_remove_spans_cuts_shared_run_and_keeps_rest(spark):
+    """A 5-token run shared by two docs is cut from both; unique
+    text survives, untouched docs pass through byte-identical."""
+    shared = "one two three four five"
+    d = _docs(
+        spark,
+        [
+            (1, f"Intro {shared} outro1"),
+            (2, f"{shared} tail2 here"),
+            (3, "totally   unrelated\ttext"),  # raw whitespace kept
+        ],
+    )
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in remove_repeated_spans(d, k=5, min_docs=2).collect()}
+    assert got[1] == ("Intro outro1", 5)
+    assert got[2] == ("tail2 here", 5)
+    assert got[3] == ("totally   unrelated\ttext", 0)
+
+
+def test_remove_spans_fully_covered_doc_becomes_empty(spark):
+    t = "a b c d e"
+    d = _docs(spark, [(1, t), (2, t)])
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in remove_repeated_spans(d, k=5, min_docs=2).collect()}
+    assert got[1] == ("", 5) and got[2] == ("", 5)
+
+
+def test_remove_spans_preserves_original_case(spark):
+    """Detection is case-insensitive (lowered tokens); the rebuilt text
+    keeps the surviving tokens' ORIGINAL case."""
+    shared = "alpha beta gamma delta epsilon"
+    d = _docs(
+        spark,
+        [(1, f"KEEP-Me {shared.upper()}"), (2, f"{shared} other x y")],
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in remove_repeated_spans(d, k=5, min_docs=2).collect()}
+    assert got[1] == "KEEP-Me"
+    assert got[2] == "other x y"
+
+
+def test_remove_spans_accepts_precomputed_spans(spark):
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    shared = "p q r s t"
+    d = _docs(spark, [(1, f"{shared} u1 u2"), (2, f"z0 {shared} z1")])
+    spans = repeated_ngram_spans(d, k=5, min_docs=2)
+    a = sorted(map(tuple, remove_repeated_spans(d, spans).collect()))
+    b = sorted(map(tuple,
+                   remove_repeated_spans(d, k=5, min_docs=2).collect()))
+    assert a == b
+    assert a[0][1] == "u1 u2"
