@@ -172,7 +172,6 @@ HEADLINE_QUERIES = (
     "sessionize",
     "repetition_metrics",
     "pack_sequences",
-    "chunk_documents",
     "dedup_clusters",
     "decontaminate",
     "pii_redact",
