@@ -1218,6 +1218,19 @@ def q_repeated_ngram_spans(spark, sf):
     )
 
 
+def q_chunk_documents(spark, sf):
+    """Context-window chunking: 16-token windows with 4-token overlap
+    (small window so the synthetic ~25-45-token docs genuinely produce
+    multi-chunk output with a clamped tail)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    return chunk_documents(
+        _load(spark, sf, "documents"), chunk_tokens=16, overlap=4
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q_remove_repeated_spans(spark, sf):
     """Apply exact-substring dedup: rebuild each document's text with
     cross-document repeated 5-token spans cut out (touched docs are
@@ -1987,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "remove_repeated_spans": q_remove_repeated_spans,
+        "chunk_documents": q_chunk_documents,
         "kmeans_assign": q_kmeans_assign,
         "semdedup_pairs": q_semdedup_pairs,
         "url_canonicalize": q_url_canonicalize,
@@ -3444,6 +3458,31 @@ def oracle_sql() -> dict[str, str]:
             FROM grp GROUP BY doc_id, island
             ORDER BY doc_id, span_start
         """.format(toks_lower=toks_lower),
+        # context-window chunking: 16-token windows, stride 12, last
+        # start clamped to len-16 (never negative); chunk text from
+        # ORIGINAL-case tokens — mirrors operators/curation.
+        # chunk_documents exactly
+        "chunk_documents": """
+            WITH orig AS (
+                SELECT doc_id, {toks_orig} AS toks FROM documents
+            ), n AS (
+                SELECT doc_id, toks, len(toks) AS ln,
+                       CASE WHEN len(toks) <= 16 THEN 1
+                            ELSE CAST(ceil((len(toks) - 16) / 12.0)
+                                 AS INT) + 1 END AS nc
+                FROM orig WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST(i.i AS BIGINT) AS chunk_id,
+                   CAST(least(16, ln - greatest(0, least(i.i * 12,
+                        ln - 16))) AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       toks[greatest(0, least(i.i * 12, ln - 16)) + 1 :
+                            greatest(0, least(i.i * 12, ln - 16)) + 16],
+                       ' ') AS text
+            FROM n, unnest(range(0, nc)) AS i(i)
+            ORDER BY doc_id, chunk_id
+        """.format(toks_orig=_TOKENS.format(col="text")),
         # span REMOVAL: same detection chain as repeated_ngram_spans,
         # then coverage = union of hit windows' positions (identical to
         # merged-island coverage), original-case tokens minus covered

@@ -172,6 +172,7 @@ HEADLINE_QUERIES = (
     "sessionize",
     "repetition_metrics",
     "pack_sequences",
+    "chunk_documents",
     "dedup_clusters",
     "decontaminate",
     "pii_redact",

@@ -1868,3 +1868,83 @@ def equidepth_histogram(
         )
         .orderBy(group_col, "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (sliding window with stride / clamped tail)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with
+    ``overlap`` shared tokens between consecutive chunks — the
+    context-window preparation step between curation and tokenization
+    (the "sliding window with overflow/stride" convention of the
+    public HF tokenizers API).
+
+    Rules: a document with ``len <= chunk_tokens`` yields ONE chunk
+    (its whole token list).  Otherwise chunk ``i`` starts at
+    ``min(i*step, len - chunk_tokens)`` with ``step = chunk_tokens -
+    overlap`` — every chunk is exactly ``chunk_tokens`` long and the
+    LAST chunk is clamped to end at the document's end (its overlap
+    with the previous chunk may exceed ``overlap``; no token is ever
+    dropped, no start repeats).  Token-less documents yield nothing.
+
+    Returns ``(id, chunk_id, n_tokens, text)``; chunk text is rebuilt
+    from ORIGINAL-case whitespace tokens, single-space joined
+    (whitespace-normalized — same contract as
+    :func:`~..operators.dedup.remove_repeated_spans`).
+
+    Scale shape (10^12 docs): entirely narrow — tokenize, a per-row
+    sequence of starts, one generate; NO shuffle, NO window, NO join
+    anywhere, so it pipelines inside whatever stage reads the corpus
+    and parallelism is exactly the scan's.  Fan-out is bounded by
+    ``len/step`` per document; the chunk text column is the only wide
+    thing and it is born in its final partition.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens; got overlap={overlap}"
+        )
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    ln = F.size("_toks")
+    n_chunks = F.when(ln <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((ln - chunk_tokens) / F.lit(step)).cast("int") + 1
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        # outer greatest(0, ...): a short doc's len - chunk_tokens is
+        # negative; its single chunk starts at 0
+        lambda i: F.greatest(
+            F.lit(0), F.least(i * step, ln - chunk_tokens)
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .filter(ln > 0)
+        .select(
+            id_col,
+            F.posexplode(starts).alias("chunk_id", "_start"),
+            F.col("_toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), ln - F.col("_start"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice("_toks", F.col("_start") + 1, chunk_tokens), " "
+            ).alias(text_col),
+        )
+    )
