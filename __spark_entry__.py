@@ -1218,15 +1218,18 @@ def q_repeated_ngram_spans(spark, sf):
     )
 
 
-def q_chunk_documents(spark, sf):
-    """Context-window chunking: 16-token windows with 4-token overlap
-    (small window so the synthetic ~25-45-token docs genuinely produce
-    multi-chunk output with a clamped tail)."""
+def q_chunk_fixed_windows(spark, sf):
+    """Fixed-size context-window chunking (HF sliding-window-with-
+    overflow convention: every chunk full-size, last start clamped):
+    16-token windows with 4-token overlap (small window so the
+    synthetic ~25-45-token docs genuinely produce multi-chunk output
+    with a clamped tail).  Distinct from chunk_overlap, whose grid
+    starts leave a short tail chunk."""
     from dandi_s3_log_parser_spark.operators.curation import (
-        chunk_documents,
+        chunk_fixed_windows,
     )
 
-    return chunk_documents(
+    return chunk_fixed_windows(
         _load(spark, sf, "documents"), chunk_tokens=16, overlap=4
     ).orderBy("doc_id", "chunk_id")
 
@@ -2000,7 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "remove_repeated_spans": q_remove_repeated_spans,
-        "chunk_documents": q_chunk_documents,
+        "chunk_fixed_windows": q_chunk_fixed_windows,
         "kmeans_assign": q_kmeans_assign,
         "semdedup_pairs": q_semdedup_pairs,
         "url_canonicalize": q_url_canonicalize,
@@ -3461,8 +3464,8 @@ def oracle_sql() -> dict[str, str]:
         # context-window chunking: 16-token windows, stride 12, last
         # start clamped to len-16 (never negative); chunk text from
         # ORIGINAL-case tokens — mirrors operators/curation.
-        # chunk_documents exactly
-        "chunk_documents": """
+        # chunk_fixed_windows exactly
+        "chunk_fixed_windows": """
             WITH orig AS (
                 SELECT doc_id, {toks_orig} AS toks FROM documents
             ), n AS (

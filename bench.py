@@ -172,7 +172,7 @@ HEADLINE_QUERIES = (
     "sessionize",
     "repetition_metrics",
     "pack_sequences",
-    "chunk_documents",
+    "chunk_fixed_windows",
     "dedup_clusters",
     "decontaminate",
     "pii_redact",

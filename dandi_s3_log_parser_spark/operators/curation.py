@@ -1875,7 +1875,7 @@ def equidepth_histogram(
 # ---------------------------------------------------------------------------
 
 
-def chunk_documents(
+def chunk_fixed_windows(
     docs: DataFrame,
     *,
     chunk_tokens: int = 512,

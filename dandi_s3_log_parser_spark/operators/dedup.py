@@ -925,3 +925,74 @@ def remove_repeated_spans(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram
+    of the normalized text, then keep the MINIMUM hash of each sliding
+    window of ``window`` consecutive gram hashes.  The distinct minima
+    are the document's fingerprint set — position-robust (any shared
+    substring of length >= k + window - 1 is guaranteed to share a
+    fingerprint) and tunably sparse (~2/(window+1) of the grams
+    survive), which is what makes fingerprint-index joins feasible
+    where full k-gram inverted indexes are not.
+
+    Normalization is lowercase + whitespace collapsed to single
+    spaces + trim.  Documents shorter than ``k`` normalized chars
+    yield no rows; documents with fewer than ``window`` grams yield
+    the single min over all their grams (one whole-text window).
+    Gram hash is the md5-derived 60-bit integer used across this
+    module (DuckDB-mirrorable for the oracle).
+
+    Returns distinct ``(id, fp)``.
+
+    Scale shape (10^12 docs): entirely narrow until the terminal
+    distinct — gram hashing and window minima are per-row array
+    expressions (``transform`` over a ``sequence``, ``array_min`` over
+    ``slice``), so the corpus text is never shuffled; only the sparse
+    (id, fp) pairs reach the exchange, pre-shrunk map-side by
+    ``array_distinct`` before the explode.  Downstream near-dup
+    detection is then a fp-keyed equi-join on a table ~2/(window+1)
+    the size of a full k-gram index.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_grams = F.length("_norm") - k + 1
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.substr(F.col("_norm"), i, F.lit(k))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    hashes = F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+    # slice() truncates at the array end, so the tail windows (and the
+    # whole-text window of a short doc) take the min of what exists
+    mins = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size("_hashes") - window + 1, F.lit(1)),
+        ),
+        lambda j: F.array_min(F.slice(F.col("_hashes"), j, window)),
+    )
+    return (
+        docs.select(F.col(id_col), norm.alias("_norm"))
+        .filter(n_grams >= 1)
+        .select(id_col, hashes.alias("_hashes"))
+        .select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
+        .distinct()
+    )

@@ -185,15 +185,15 @@ def test_remove_spans_accepts_precomputed_spans(spark):
 
 
 # ---------------------------------------------------------------------------
-# chunk_documents
+# chunk_fixed_windows
 # ---------------------------------------------------------------------------
 
-from dandi_s3_log_parser_spark.operators.curation import chunk_documents
+from dandi_s3_log_parser_spark.operators.curation import chunk_fixed_windows
 
 
 def test_chunk_short_doc_single_chunk(spark):
     d = _docs(spark, [(1, "a b c")])
-    rows = chunk_documents(d, chunk_tokens=5).collect()
+    rows = chunk_fixed_windows(d, chunk_tokens=5).collect()
     assert [(r["chunk_id"], r["n_tokens"], r["text"]) for r in rows] == [
         (0, 3, "a b c")
     ]
@@ -201,7 +201,7 @@ def test_chunk_short_doc_single_chunk(spark):
 
 def test_chunk_exact_multiple_no_overlap(spark):
     d = _docs(spark, [(1, "a b c d e f")])
-    rows = chunk_documents(d, chunk_tokens=3, overlap=0).collect()
+    rows = chunk_fixed_windows(d, chunk_tokens=3, overlap=0).collect()
     assert [(r["chunk_id"], r["text"]) for r in rows] == [
         (0, "a b c"), (1, "d e f")
     ]
@@ -211,7 +211,7 @@ def test_chunk_overlap_and_clamped_tail(spark):
     """len 7, chunk 3, overlap 1 (step 2): starts 0,2,4 — every chunk
     exactly 3 tokens, last ends at the document end."""
     d = _docs(spark, [(1, "a b c d e f g")])
-    rows = chunk_documents(d, chunk_tokens=3, overlap=1).collect()
+    rows = chunk_fixed_windows(d, chunk_tokens=3, overlap=1).collect()
     assert [(r["chunk_id"], r["n_tokens"], r["text"]) for r in rows] == [
         (0, 3, "a b c"), (1, 3, "c d e"), (2, 3, "e f g")
     ]
@@ -221,7 +221,7 @@ def test_chunk_tail_clamp_increases_last_overlap(spark):
     """len 8, chunk 5, step 5: naive start 5 leaves a 3-token tail;
     the clamp moves the last chunk to start 3 so it is full-size."""
     d = _docs(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7")])
-    rows = chunk_documents(d, chunk_tokens=5, overlap=0).collect()
+    rows = chunk_fixed_windows(d, chunk_tokens=5, overlap=0).collect()
     assert [(r["chunk_id"], r["text"]) for r in rows] == [
         (0, "t0 t1 t2 t3 t4"), (1, "t3 t4 t5 t6 t7")
     ]
@@ -230,7 +230,7 @@ def test_chunk_tail_clamp_increases_last_overlap(spark):
 def test_chunk_every_token_covered(spark):
     d = _docs(spark, [(i, " ".join(f"w{j}" for j in range(i)))
                       for i in range(1, 40)])
-    out = chunk_documents(d, chunk_tokens=7, overlap=2)
+    out = chunk_fixed_windows(d, chunk_tokens=7, overlap=2)
     per_doc = {}
     for r in out.collect():
         per_doc.setdefault(r["doc_id"], set()).update(
@@ -241,10 +241,10 @@ def test_chunk_every_token_covered(spark):
 
 def test_chunk_empty_and_validation(spark):
     d = _docs(spark, [(1, "   "), (2, "x y")])
-    rows = chunk_documents(d, chunk_tokens=4).collect()
+    rows = chunk_fixed_windows(d, chunk_tokens=4).collect()
     assert [r["doc_id"] for r in rows] == [2]
     import pytest as _pt
     with _pt.raises(ValueError, match="chunk_tokens"):
-        chunk_documents(d, chunk_tokens=0)
+        chunk_fixed_windows(d, chunk_tokens=0)
     with _pt.raises(ValueError, match="overlap"):
-        chunk_documents(d, chunk_tokens=4, overlap=4)
+        chunk_fixed_windows(d, chunk_tokens=4, overlap=4)
