@@ -1248,6 +1248,50 @@ def q_remove_repeated_spans(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_winnow_fingerprints(spark, sf):
+    """MOSS winnowing fingerprints (Schleimer et al. 2003): min-hash of
+    each sliding window of 5 consecutive char-6-gram hashes; the
+    distinct minima are the position-robust fingerprint set (~1/3 the
+    density of a full gram index).  Entirely narrow until the terminal
+    distinct — see operator docstring."""
+    from dandi_s3_log_parser_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(
+        _load(spark, sf, "documents"), k=6, window=5
+    ).orderBy("doc_id", "fp")
+
+
+def q_bpe_top_pairs(spark, sf):
+    """BPE-initialization pair statistics (Sennrich et al. 2016): top-50
+    adjacent symbol pairs (chars, end-of-word marker on the last) by
+    corpus frequency — the statistic whose argmax is the first merge.
+    Runs over the DISTINCT-word table, never the corpus text."""
+    from dandi_s3_log_parser_spark.operators.tokenizer import (
+        bpe_pair_counts,
+    )
+
+    return bpe_pair_counts(
+        _load(spark, sf, "documents"), min_count=2, topk=50
+    )
+
+
+def q_bpe_merges(spark, sf):
+    """Full BPE training, 12 merges: iterative argmax-pair + greedy
+    left-to-right merge over the distinct-word table (corpus text
+    touched once).  No SQL oracle — the merge loop is iterative with a
+    per-step argmax; verified instead against a pure-Python reference
+    BPE in tests/test_round5_ops.py."""
+    from dandi_s3_log_parser_spark.operators.tokenizer import bpe_train
+
+    merges = bpe_train(_load(spark, sf, "documents"), n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b, int(n)) for i, (a, b, n) in enumerate(merges)],
+        "rank int, a string, b string, pair_count long",
+    )
+
+
 def q_temperature_weights(spark, sf):
     """Temperature-based source mixing: p_i ~ n_i^0.3 over per-source
     token sums (XLM-R scheme).  One map-side-combined aggregate to a
@@ -2003,6 +2047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "remove_repeated_spans": q_remove_repeated_spans,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "bpe_top_pairs": q_bpe_top_pairs,
+        "bpe_merges": q_bpe_merges,
         "chunk_fixed_windows": q_chunk_fixed_windows,
         "kmeans_assign": q_kmeans_assign,
         "semdedup_pairs": q_semdedup_pairs,
@@ -3486,6 +3533,60 @@ def oracle_sql() -> dict[str, str]:
             FROM n, unnest(range(0, nc)) AS i(i)
             ORDER BY doc_id, chunk_id
         """.format(toks_orig=_TOKENS.format(col="text")),
+        # MOSS winnowing rebuilt in SQL: same normalization (lowercase,
+        # whitespace collapsed, trimmed), same md5-60bit char-6-gram
+        # hash, window-of-5 minima via list expressions (slice bounds
+        # are end-inclusive and truncate at the array end, matching
+        # Spark's slice()), distinct minima per doc
+        "winnow_fingerprints": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                           AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, length(t) - 6 + 2),
+                           i -> CAST(concat('0x',
+                                substr(md5(substr(t, CAST(i AS INT), 6)),
+                                       1, 15)) AS BIGINT)
+                       ) AS hs
+                FROM d WHERE length(t) >= 6
+            )
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(hs) - 5 + 1, 1) + 1),
+                           j -> list_min(hs[j : j + 4])
+                       )) AS fp
+                FROM g
+            )
+            ORDER BY doc_id, fp
+        """,
+        # BPE pair statistics rebuilt in SQL: distinct lowercase words
+        # with occurrence counts, adjacent char pairs with the </w>
+        # marker glued to the word-final symbol, count-weighted pair
+        # sums, identical (count desc, a, b) top-50 cut
+        "bpe_top_pairs": """
+            WITH w AS (
+                SELECT t AS word, count(*) AS n
+                FROM (SELECT unnest({toks_lower}) AS t FROM documents)
+                GROUP BY t
+            ), p AS (
+                SELECT substr(word, CAST(i.i AS INT), 1) AS a,
+                       substr(word, CAST(i.i AS INT) + 1, 1)
+                           || CASE WHEN i.i + 1 = length(word)
+                                   THEN '</w>' ELSE '' END AS b,
+                       n
+                FROM w, unnest(range(1, length(word))) AS i(i)
+            )
+            SELECT a, b, CAST(sum(n) AS BIGINT) AS pair_count
+            FROM p GROUP BY a, b
+            HAVING sum(n) >= 2
+            ORDER BY pair_count DESC, a, b
+            LIMIT 50
+        """.format(toks_lower=toks_lower),
         # span REMOVAL: same detection chain as repeated_ngram_spans,
         # then coverage = union of hit windows' positions (identical to
         # merged-island coverage), original-case tokens minus covered

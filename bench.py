@@ -173,6 +173,8 @@ HEADLINE_QUERIES = (
     "repetition_metrics",
     "pack_sequences",
     "chunk_fixed_windows",
+    "winnow_fingerprints",
+    "bpe_top_pairs",
     "dedup_clusters",
     "decontaminate",
     "pii_redact",

@@ -48,7 +48,9 @@ def word_counts(
 
 def _initial_symbols(word: Column) -> Column:
     """Character-split with the end-of-word marker on the last symbol."""
-    chars = F.split(word, "(?!^)")  # split between every char pair
+    # split between every char pair; Spark's split keeps trailing empty
+    # strings (limit=-1), so filter them before marking the last symbol
+    chars = F.filter(F.split(word, "(?!^)"), lambda c: c != "")
     last = F.size(chars)
     return F.transform(
         chars,

@@ -248,3 +248,188 @@ def test_chunk_empty_and_validation(spark):
         chunk_fixed_windows(d, chunk_tokens=0)
     with _pt.raises(ValueError, match="overlap"):
         chunk_fixed_windows(d, chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(text, k, w):
+    """Pure-Python winnowing reference (same normalization + hash)."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(t) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    n_wins = max(len(hs) - w + 1, 1)
+    return {min(hs[j : j + w]) for j in range(n_wins)}
+
+
+def test_winnow_matches_pure_python_reference(spark):
+    from dandi_s3_log_parser_spark.operators.dedup import winnow_fingerprints
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "pack   my box\nwith five dozen liquor jugs"),
+        (3, "aaaaaaaaaaaaaaa"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(d, k=5, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == _winnow_py(text, 5, 4), doc_id
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee: any shared substring of length >=
+    k + window - 1 produces at least one common fingerprint."""
+    from dandi_s3_log_parser_spark.operators.dedup import winnow_fingerprints
+
+    shared = "xylophone quartz vibes"  # 22 chars >= 5 + 4 - 1
+    d = spark.createDataFrame(
+        [
+            (1, "left context " + shared + " and one tail"),
+            (2, "a completely different prefix " + shared),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(d, k=5, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]
+
+
+def test_winnow_short_and_empty_docs(spark):
+    from dandi_s3_log_parser_spark.operators.dedup import winnow_fingerprints
+
+    d = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "   "), (4, "abcdef")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(d, k=5, window=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r["fp"])
+    # 1-3: under k normalized chars -> no fingerprints at all
+    assert set(by_id) == {4}
+    # "abcdef": 2 grams < window -> single whole-text window min
+    assert set(by_id[4]) == _winnow_py("abcdef", 5, 4)
+
+
+def test_winnow_sparser_than_gram_index(spark):
+    """Density check: fingerprints ~ 2/(w+1) of grams, far fewer than
+    the full gram index on real-ish text."""
+    from dandi_s3_log_parser_spark.operators.dedup import winnow_fingerprints
+
+    text = " ".join(f"token{i} word{i*7%13}" for i in range(200))
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_fp = winnow_fingerprints(d, k=5, window=8).count()
+    n_grams = len(text) - 5 + 1
+    assert n_fp < n_grams / 2
+
+
+def test_winnow_validates_params(spark):
+    from dandi_s3_log_parser_spark.operators.dedup import winnow_fingerprints
+
+    d = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(d, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(d, window=0)
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts / bpe_train
+# ---------------------------------------------------------------------------
+
+
+def _bpe_py(word_counts, n_merges):
+    """Pure-Python reference BPE (Sennrich alg. 1): returns the merge
+    list [(a, b, count)] with lexicographic (a, b) tie-break."""
+    words = {
+        tuple(list(w[:-1]) + [w[-1] + "</w>"]): n
+        for w, n in word_counts.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, n in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        pairs = {p: c for p, c in pairs.items() if c >= 2}
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        new_words = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
+        words = new_words
+    return merges
+
+
+def test_bpe_pair_counts_hand_corpus(spark):
+    from dandi_s3_log_parser_spark.operators.tokenizer import bpe_pair_counts
+
+    # 'low' x3, 'lower' x1  ->  (l,o)=4, (o,w</w>)=3, (o,w)=1, ...
+    d = spark.createDataFrame(
+        [(1, "low low lower"), (2, "Low")], "doc_id long, text string"
+    )
+    got = {
+        (r["a"], r["b"]): r["pair_count"]
+        for r in bpe_pair_counts(d, min_count=1, topk=50).collect()
+    }
+    assert got[("l", "o")] == 4
+    assert got[("o", "w</w>")] == 3
+    assert got[("o", "w")] == 1
+    assert got[("w", "e")] == 1
+    assert ("e", "r</w>") in got
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    from dandi_s3_log_parser_spark.operators.tokenizer import bpe_train
+
+    text = "low low low lower lower newest newest newest newest widest widest"
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    wc = {}
+    for w in text.split():
+        wc[w] = wc.get(w, 0) + 1
+    expect = _bpe_py(wc, 8)
+    got = bpe_train(d, n_merges=8)
+    assert got == expect
+
+
+def test_bpe_train_stops_when_no_pair_repeats(spark):
+    from dandi_s3_log_parser_spark.operators.tokenizer import bpe_train
+
+    d = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    # every pair occurs once -> zero merges regardless of budget
+    assert bpe_train(d, n_merges=5) == []
+
+
+def test_bpe_merge_handles_runs_greedily(spark):
+    from dandi_s3_log_parser_spark.operators.tokenizer import bpe_train
+
+    # 'aaaa' x2: pairs (a,a)=4(x2 weighted)... first merge (a,a);
+    # greedy left-to-right gives [aa, aa</w>]-shaped splits, matching
+    # the reference exactly
+    d = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    wc = {"aaaa": 3}
+    assert bpe_train(d, n_merges=3) == _bpe_py(wc, 3)
