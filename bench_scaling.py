@@ -32,7 +32,7 @@ REPO = Path(__file__).resolve().parent
 
 def run_worker(
     cpus: int, n_pages: int, trials: int = 2, wh_root: str = None,
-    stage: str = "all",
+    stage: str = "all", driver_memory: str = "48g",
 ) -> dict:
     from bench import _ensure_bench_pages
     from dandi_s3_log_parser_spark.plans.pipeline import (
@@ -50,6 +50,7 @@ def run_worker(
     # shared box (external load inflates wall, not our executors' CPU)
     spark = get_spark(
         f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus,
+        driver_memory=driver_memory,
         extra_conf={
             "spark.ui.enabled": "true",
             # completed-stage eviction at the default retainedStages=1000
@@ -143,6 +144,9 @@ def main() -> None:
                     help="output warehouse location; tmpfs by default so sink "
                          "bandwidth models cluster storage (one local disk does "
                          "not scale with executors the way S3/HDFS does)")
+    ap.add_argument("--driver-memory", type=str, default="48g",
+                    help="per-JVM heap; the multi-JVM control caps this so "
+                         "4 concurrent workers fit the box")
     ap.add_argument("--stage", type=str, default="all", choices=("all", "reduce"),
                     help="'reduce' measures the parse/filter/write stage alone "
                          "(per-stage scaling decomposition for BENCH.md)")
@@ -151,7 +155,7 @@ def main() -> None:
     if args.worker_cpus:
         print("WORKER_RESULT " + json.dumps(run_worker(
             args.worker_cpus, args.pages, args.trials, args.warehouse_root,
-            args.stage)))
+            args.stage, args.driver_memory)))
         return
 
     lo, hi = (int(x) for x in args.levels.split(","))
