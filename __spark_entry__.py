@@ -1258,8 +1258,15 @@ def q_winnow_fingerprints(spark, sf):
         winnow_fingerprints,
     )
 
+    # single-row-group scan -> 1-2 tasks; the per-row window math is
+    # this query's CPU, so spread it (a real-scale scan parallelizes
+    # itself)
     return winnow_fingerprints(
-        _load(spark, sf, "documents"), k=6, window=5
+        _load(spark, sf, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        k=6,
+        window=5,
     ).orderBy("doc_id", "fp")
 
 
@@ -1624,7 +1631,12 @@ def q_containment_dedup(spark, sf):
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, 5), " ").alias("text"),
     )
-    corpus = d.unionByName(excerpts)
+    # the sf* documents table is ONE tiny parquet row group -> a 1-2
+    # task scan; the shingle/posting stage is the CPU of this query, so
+    # spread it (at real scale the scan's own parallelism does this)
+    corpus = d.unionByName(excerpts).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return containment_near_dup(corpus, threshold=0.8, n=3).orderBy(
         "id_a", "id_b"
     )

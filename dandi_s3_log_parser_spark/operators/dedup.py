@@ -804,12 +804,25 @@ def containment_near_dup(
       ONLY shared grams are ultra-common is missed — acceptable,
       because containment evidenced solely by boilerplate is exactly
       the false-positive class the cap exists to kill;
-    - candidates are DISTINCT (id_a, id_b) pairs from the postings
-      join, then verified EXACTLY: both sides' full shingle arrays are
-      joined back in (candidate-sized join, not corpus-sized) and the
-      true intersection over the FULL sets — common grams included —
-      is computed with one ``array_intersect`` per pair, so the
-      reported containment is exact, never an estimate.
+    - candidates are (id_a, id_b) pairs from the postings join with
+      their shared-rare-gram COUNT (the aggregate replaces a bare
+      distinct at identical shuffle shape), and pairs that cannot
+      reach the threshold are pruned BEFORE the verify join by an
+      exact-safe upper bound: shingle sets are distinct per doc, so
+      ``|A∩B| <= shared_rare + min(|A|-|A_rare|, |B|-|B_rare|)``
+      (every non-shared-rare intersection gram must be capped-common
+      on BOTH sides).  Only pairs whose bound clears the threshold
+      haul their full shingle arrays into the verify join — the wide
+      part of the plan — which on random-collision-heavy corpora is
+      the difference between verifying millions of 1-shared-gram
+      pairs and verifying the handful of real suspects (measured at
+      sf0.1: 10.8 s -> see bench record; CPU dominated by the verify
+      join before the prune);
+    - survivors are then verified EXACTLY: both sides' full shingle
+      arrays are joined back in (suspect-sized join, not corpus-sized)
+      and the true intersection over the FULL sets — common grams
+      included — is computed with one ``array_intersect`` per pair,
+      so the reported containment is exact, never an estimate.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"need 0 < threshold <= 1; got {threshold}")
@@ -828,17 +841,55 @@ def containment_near_dup(
         .select("_d"),
         "_d",
     )
-    cand = (
+    # per-doc totals: |sh| and how many of its digests survived the cap
+    stats = (
+        sh.select("id", F.size("sh").alias("_n"))
+        .join(
+            rare.groupBy("id").agg(F.count(F.lit(1)).alias("_nr")),
+            "id",
+            "left",
+        )
+        .select("id", "_n", F.coalesce("_nr", F.lit(0)).alias("_nr"))
+    )
+    shared = (
         rare.alias("a")
         .join(
             rare.alias("b"),
             (F.col("a._d") == F.col("b._d"))
             & (F.col("a.id") != F.col("b.id")),
         )
-        .select(
+        .groupBy(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    # upper-bound prune (rounding matches the final filter, so the
+    # bound can never kill a pair the exact verify would keep)
+    ub = (
+        F.col("_shared")
+        + F.least(
+            F.col("_na") - F.col("_nra"), F.col("_nb") - F.col("_nrb")
+        )
+    ) / F.col("_na")
+    cand = (
+        shared.join(
+            stats.select(
+                F.col("id").alias("id_a"),
+                F.col("_n").alias("_na"),
+                F.col("_nr").alias("_nra"),
+            ),
+            "id_a",
+        )
+        .join(
+            stats.select(
+                F.col("id").alias("id_b"),
+                F.col("_n").alias("_nb"),
+                F.col("_nr").alias("_nrb"),
+            ),
+            "id_b",
+        )
+        .filter(F.round(ub, 4) >= threshold)
+        .select("id_a", "id_b")
     )
     verified = (
         cand.join(
