@@ -71,6 +71,21 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_load + round-robin repartition to default parallelism.
+
+    The sf* tables are ONE tiny parquet row group each, so a scan
+    yields 1-2 tasks no matter what maxPartitionBytes says (row groups
+    are the split floor); any query whose cost is per-row narrow CPU
+    (shingling, tokenizing, hashing) then runs on 1-2 of 32 cores.  A
+    real-scale table has thousands of row groups and parallelizes its
+    own scan — this helper is the sandbox stand-in, used ONLY by
+    queries measured to be narrow-CPU-bound (bench cpu_s ~= wall)."""
+    return _load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _cents(col):
     return F.round(col * 100).cast("long")
 
@@ -837,7 +852,7 @@ def q_cms_heavy_hitters(spark, sf):
     )
     from dandi_s3_log_parser_spark.operators.dedup import word_tokens
 
-    inst = _load(spark, sf, "documents").select(
+    inst = _load_spread(spark, sf, "documents").select(
         F.explode(word_tokens(F.col("text"))).alias("tok")
     )
     return cms_frequency_check(inst, "tok", width=512, depth=4, topk=30)
@@ -957,7 +972,7 @@ def q_corpus_line_dedup(spark, sf):
     lines — and sf0.1 — 8 lines / 1,433 removals.)"""
     from dandi_s3_log_parser_spark.operators.curation import corpus_line_dedup
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     # one metadata-sized count to fix the absolute df threshold (3.5%)
     threshold = int(d.count() * 0.035)
     return corpus_line_dedup(
@@ -1214,7 +1229,7 @@ def q_repeated_ngram_spans(spark, sf):
     )
 
     return repeated_ngram_spans(
-        _load(spark, sf, "documents"), k=5, min_docs=2
+        _load_spread(spark, sf, "documents"), k=5, min_docs=2
     )
 
 
@@ -1244,7 +1259,7 @@ def q_remove_repeated_spans(spark, sf):
     )
 
     return remove_repeated_spans(
-        _load(spark, sf, "documents"), k=5, min_docs=2
+        _load_spread(spark, sf, "documents"), k=5, min_docs=2
     ).orderBy("doc_id")
 
 
@@ -1433,7 +1448,7 @@ def q_decontaminate(spark, sf):
     recompute in DuckDB."""
     from dandi_s3_log_parser_spark.operators.decontaminate import decontaminate
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(train, bench, n=3).orderBy("doc_id")
