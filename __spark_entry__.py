@@ -858,6 +858,16 @@ def q_cms_heavy_hitters(spark, sf):
     return cms_frequency_check(inst, "tok", width=512, depth=4, topk=30)
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail corpus split by bigram-LM perplexity
+    tertiles (Wenzek et al. 2020; the in-corpus bigram LM stands in
+    for CCNet's external KenLM).  Two-row percentile aggregate + 1-row
+    broadcast atop the bigram_logprob plan; no sort, no window."""
+    from dandi_s3_log_parser_spark.operators.curation import ccnet_buckets
+
+    return ccnet_buckets(_load(spark, sf, "documents"), lam=0.75)
+
+
 def q_bigram_logprob(spark, sf):
     """Interpolated corpus bigram-LM perplexity proxy (lam=0.75 so
     1-lam is FP-exact in both engines)."""
@@ -2105,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "quality_classifier": q_quality_classifier,
         "bigram_logprob": q_bigram_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "pq_assign": q_pq_assign,
         "pq_adc_topk": q_pq_adc_topk,
@@ -2547,6 +2558,47 @@ _PAGES_PIPELINE_SQL = """
 def oracle_sql() -> dict[str, str]:
     toks = _TOKENS.format(col="text")
     toks_lower = _TOKENS.format(col="lower(text)")
+    # shared CTE chain: corpus bigram LM scoring (identical
+    # tokenization, bigram construction, and Jelinek-Mercer
+    # interpolation 0.75*c12/c1 + 0.25*c2/N, same left-to-right FP
+    # association); used by bigram_logprob and ccnet_buckets
+    _BIGRAM_NLL_CTES = """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''
+                       ) AS words
+                FROM documents
+            ), uc AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(words) AS w FROM d) GROUP BY w
+            ), nu AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uc
+            ), bgi AS (
+                SELECT doc_id, words,
+                       unnest(generate_series(1, len(words) - 1)) AS i
+                FROM d
+            ), inst AS (
+                SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+                FROM bgi
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12
+                FROM inst GROUP BY w1, w2
+            ), s AS (
+                SELECT inst.doc_id,
+                       count(*) AS nb,
+                       avg(-ln(
+                           0.75 * bi.c12 / ca.c + 0.25 * cb.c / nu.n_uni
+                       )) AS nll
+                FROM inst
+                JOIN bi USING (w1, w2)
+                JOIN uc ca ON ca.w = inst.w1
+                JOIN uc cb ON cb.w = inst.w2
+                CROSS JOIN nu
+                GROUP BY inst.doc_id
+            )
+    """
     return {
         "reduce_filter_project": """
             SELECT event_id,
@@ -4529,46 +4581,32 @@ def oracle_sql() -> dict[str, str]:
         # and Jelinek-Mercer interpolation (0.75*c12/c1 + 0.25*c2/N,
         # same left-to-right FP association); avg rounded to 4 dp; NULL
         # nll for <2-token docs in both engines
-        "bigram_logprob": """
-            WITH d AS (
-                SELECT doc_id,
-                       list_filter(
-                           string_split_regex(lower(text), '\\s+'),
-                           x -> x <> ''
-                       ) AS words
-                FROM documents
-            ), uc AS (
-                SELECT w, count(*) AS c
-                FROM (SELECT unnest(words) AS w FROM d) GROUP BY w
-            ), nu AS (
-                SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uc
-            ), bgi AS (
-                SELECT doc_id, words,
-                       unnest(generate_series(1, len(words) - 1)) AS i
-                FROM d
-            ), inst AS (
-                SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
-                FROM bgi
-            ), bi AS (
-                SELECT w1, w2, count(*) AS c12
-                FROM inst GROUP BY w1, w2
-            ), s AS (
-                SELECT inst.doc_id,
-                       count(*) AS nb,
-                       avg(-ln(
-                           0.75 * bi.c12 / ca.c + 0.25 * cb.c / nu.n_uni
-                       )) AS nll
-                FROM inst
-                JOIN bi USING (w1, w2)
-                JOIN uc ca ON ca.w = inst.w1
-                JOIN uc cb ON cb.w = inst.w2
-                CROSS JOIN nu
-                GROUP BY inst.doc_id
-            )
+        "bigram_logprob": _BIGRAM_NLL_CTES + """
             SELECT doc.doc_id,
                    CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
                    round(s.nll, 4) AS nll
             FROM documents doc LEFT JOIN s USING (doc_id)
+        """,
+        # ccnet_buckets: same scored table, tertile cutpoints via
+        # quantile_cont (same (n-1)*p interpolation as Spark's
+        # percentile - the length_quantiles precedent), <= boundary to
+        # the lower bucket in both engines; NULL bucket for unscored
+        "ccnet_buckets": _BIGRAM_NLL_CTES + """
+            , scored AS (
+                SELECT doc.doc_id,
+                       CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+                       round(s.nll, 4) AS nll
+                FROM documents doc LEFT JOIN s USING (doc_id)
+            ), cuts AS (
+                SELECT quantile_cont(nll, [1.0/3.0, 2.0/3.0]) AS c
+                FROM scored WHERE nll IS NOT NULL
+            )
+            SELECT doc_id, n_bigrams, nll,
+                   CASE WHEN nll IS NULL THEN NULL
+                        WHEN nll <= c[1] THEN 'head'
+                        WHEN nll <= c[2] THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored CROSS JOIN cuts
         """,
         # quality_classifier: identical md5 hashing trick (8-hex bucket,
         # 6-hex weight draw), identical left-join-0 + mean -> sigmoid;

@@ -214,6 +214,7 @@ HEADLINE_QUERIES = (
     "corpus_shuffle",
     "quality_classifier",
     "bigram_logprob",
+    "ccnet_buckets",
     "cms_heavy_hitters",
     "pq_assign",
     "pq_adc_topk",

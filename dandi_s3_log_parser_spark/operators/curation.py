@@ -1948,3 +1948,64 @@ def chunk_fixed_windows(
             ).alias(text_col),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    *,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndp: int = 4,
+) -> DataFrame:
+    """CCNet's corpus split by LM perplexity tertiles (Wenzek et al.,
+    LREC 2020): score every document with the corpus bigram LM
+    (:func:`bigram_logprob` — the in-corpus stand-in for CCNet's
+    external KenLM), cut the scoreable corpus at the 1/3 and 2/3
+    quantiles, and label ``head`` (lowest nll, most fluent),
+    ``middle``, ``tail`` — the bucket downstream recipes sample from
+    (head-only for quality-first corpora, temperature-mixed
+    otherwise).
+
+    Returns ``(id, n_bigrams, nll, bucket)``; documents with no
+    defined score (<2 tokens) keep a NULL bucket — the caller decides
+    their fate, the operator does not invent a neutral one.  Boundary
+    docs whose nll equals a cutpoint go to the LOWER bucket (``<=``),
+    and since nll is rounded to ``ndp`` while interpolation error is
+    ~1 ulp, the comparison is stable across engines.
+
+    Scale shape (10^12 docs): the scoring plan is bigram_logprob's
+    (word-count-shaped aggregates + three narrow equi-joins); the two
+    cutpoints come from ONE ``percentile`` aggregate over the scored
+    column (value->count map, the group_quantiles argument) and ride a
+    one-row broadcast back onto the stream.  No sort, no window, no
+    extra shuffle beyond the scorer's own.
+    """
+    scored = bigram_logprob(
+        docs, text_col=text_col, id_col=id_col, lam=lam, ndp=ndp
+    )
+    cuts = (
+        scored.filter(F.col("nll").isNotNull())
+        .agg(
+            F.percentile(
+                F.col("nll"), F.array(F.lit(1 / 3), F.lit(2 / 3))
+            ).alias("_cuts")
+        )
+    )
+    c1 = F.element_at("_cuts", 1)
+    c2 = F.element_at("_cuts", 2)
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_bigrams",
+        "nll",
+        F.when(F.col("nll").isNull(), F.lit(None).cast("string"))
+        .when(F.col("nll") <= c1, F.lit("head"))
+        .when(F.col("nll") <= c2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

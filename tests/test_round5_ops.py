@@ -433,3 +433,60 @@ def test_bpe_merge_handles_runs_greedily(spark):
     )
     wc = {"aaaa": 3}
     assert bpe_train(d, n_merges=3) == _bpe_py(wc, 3)
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets
+# ---------------------------------------------------------------------------
+
+
+def _ccnet_rows(spark, texts):
+    from dandi_s3_log_parser_spark.operators.curation import ccnet_buckets
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return ccnet_buckets(d).collect()
+
+
+def test_ccnet_buckets_are_nll_ordered_tertiles(spark):
+    """head <= middle <= tail by nll, boundaries to the lower bucket,
+    each bucket non-empty on a 9-doc scoreable corpus."""
+    texts = [
+        " ".join(["the cat sat"] * (i + 1)) + f" tail{i}" for i in range(9)
+    ]
+    rows = _ccnet_rows(spark, texts)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["nll"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_ccnet_unscored_docs_get_null_bucket(spark):
+    rows = _ccnet_rows(
+        spark, ["single", "", "two words here repeated two words here"]
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["bucket"]) for r in rows}
+    assert got[0] == (0, None)   # 1 token: no bigram
+    assert got[1] == (0, None)   # empty
+    assert got[2][0] > 0 and got[2][1] is not None
+
+
+def test_ccnet_total_and_tertile_balance(spark):
+    """Every input doc keeps exactly one row; scoreable docs split
+    ~n/3 per bucket (within rounding-tie slack)."""
+    texts = [
+        "the cat sat on the mat "
+        + " ".join(f"rare{i}x{j}" for j in range(i + 1))
+        for i in range(30)
+    ]
+    rows = _ccnet_rows(spark, texts)
+    assert len(rows) == 30
+    from collections import Counter
+
+    c = Counter(r["bucket"] for r in rows)
+    assert None not in c
+    for b in ("head", "middle", "tail"):
+        assert 6 <= c[b] <= 14, c
