@@ -20,7 +20,9 @@ equi-join (contributions) and one dst-keyed aggregate (map-side
 partial) — the classic Pregel message pattern expressed as DataFrame
 ops; rank lineage is truncated per round with ``localCheckpoint``
 (iterative-plan precedent: ``dedup_clusters``).  The dangling-mass
-term is a one-scalar driver collect per iteration, k-means-style.
+term rides a broadcast 1-row cross-join into the rank update, so each
+iteration costs exactly one eager job (the checkpoint), no driver
+collect.
 Hub skew (a host with 10^7 in-links) is an aggregation hot key, which
 partial aggregation absorbs — contributions combine map-side before
 the dst exchange.
@@ -83,8 +85,10 @@ def pagerank(
     for _ in range(iters):
         # dangling mass: ranks are on the ndp grid, so the decimal cast
         # is unambiguous and the sum exact (never a partition-order
-        # double sum)
-        dm = float(
+        # double sum).  Rides a broadcast 1-row cross-join rather than
+        # a driver collect, so each iteration costs ONE eager job (the
+        # localCheckpoint), not two — same double value either way.
+        dm_df = (
             ranks.join(
                 outdeg, ranks["node"] == outdeg["src"], "left_anti"
             )
@@ -94,9 +98,8 @@ def pagerank(
                         "double"
                     ),
                     F.lit(0.0),
-                )
+                ).alias("_dm")
             )
-            .first()[0]
         )
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -113,6 +116,7 @@ def pagerank(
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
             nodes.join(s, "node", "left")
+            .crossJoin(F.broadcast(dm_df))
             .select(
                 "node",
                 F.round(
@@ -122,7 +126,7 @@ def pagerank(
                         F.coalesce(
                             F.col("s").cast("double"), F.lit(0.0)
                         )
-                        + F.lit(dm / n)
+                        + F.col("_dm") / F.lit(float(n))
                     ),
                     ndp,
                 ).alias("rank"),
@@ -192,7 +196,12 @@ def hits(
     auth = None
 
     def _propagate(scores, key_in, key_out):
-        """Sum `scores` over edges into `key_out` side, normalized."""
+        """Sum `scores` over edges into `key_out` side, normalized.
+
+        The normalizer rides a broadcast 1-row cross-join instead of a
+        driver collect, so each half-iteration costs ONE eager job
+        (the localCheckpoint) rather than two — the exact-decimal sum
+        and the double division are the same values either way."""
         raw = (
             e.join(
                 scores.withColumnRenamed("node", key_in), key_in
@@ -202,16 +211,15 @@ def hits(
                 F.sum(F.col("score").cast("decimal(20,8)")).alias("_s")
             )
         )
-        total = float(
-            raw.agg(F.sum("_s").cast("double")).first()[0]
-        )
+        tot = raw.agg(F.sum("_s").cast("double").alias("_t"))
         return (
             nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
             .select(
                 "node",
                 F.round(
                     F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
-                    / F.lit(total),
+                    / F.col("_t"),
                     ndp,
                 ).alias("score"),
             )
