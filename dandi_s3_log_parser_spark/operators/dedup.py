@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -483,6 +483,11 @@ def dedup_clusters(
         lookup = prop.select(
             F.col("id").alias("_pid"), F.col("label").alias("_plabel")
         )
+        # convergence rides an observe() on the SAME job the
+        # localCheckpoint runs (observed metrics fire on checkpoint
+        # materialization), so each round costs ONE eager job, not a
+        # checkpoint plus a separate count
+        obs = Observation(f"cc_changed_{_}")
         new_labels = (
             prop.join(lookup, prop.label == lookup._pid, "left")
             .select(
@@ -492,9 +497,15 @@ def dedup_clusters(
                 ).alias("label"),
                 "_old",
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        changed = obs.get["changed"] or 0
         labels = new_labels.drop("_old")
         if changed == 0:
             break
