@@ -1310,14 +1310,14 @@ def q_bpe_top_pairs(spark, sf):
 
 
 def q_bpe_merges(spark, sf):
-    """Full BPE training, 12 merges: iterative argmax-pair + greedy
+    """Full BPE training, 8 merges: iterative argmax-pair + greedy
     left-to-right merge over the distinct-word table (corpus text
     touched once).  No SQL oracle — the merge loop is iterative with a
     per-step argmax; verified instead against a pure-Python reference
-    BPE in tests/test_round5_ops.py."""
+    BPE in tests/test_round5_ops.py (same 8-merge depth)."""
     from dandi_s3_log_parser_spark.operators.tokenizer import bpe_train
 
-    merges = bpe_train(_load(spark, sf, "documents"), n_merges=12)
+    merges = bpe_train(_load(spark, sf, "documents"), n_merges=8)
     return spark.createDataFrame(
         [(i, a, b, int(n)) for i, (a, b, n) in enumerate(merges)],
         "rank int, a string, b string, pair_count long",
