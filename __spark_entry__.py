@@ -396,6 +396,18 @@ def q_ngram_jaccard_pairs(spark, sf):
     return ngram_jaccard_pairs(d, threshold=0.2, n=3, max_rows=200)
 
 
+def q_jaccard_prefix_pairs(spark, sf):
+    """Exact all-pairs Jaccard via prefix filtering (Bayardo et al.
+    WWW'07) — the scale path next to the guarded brute-force baseline,
+    so it runs UNCAPPED on the full documents table.  The oracle is the
+    exhaustive quadratic recompute at the oracle sf: hash equality
+    proves the prefix pruning is lossless, not just plausible."""
+    from dandi_s3_log_parser_spark.operators.dedup import jaccard_prefix_join
+
+    d = _load(spark, sf, "documents")
+    return jaccard_prefix_join(d, threshold=0.5, n=3)
+
+
 def q_cosine_topk(spark, sf):
     from dandi_s3_log_parser_spark.operators.similarity import cosine_topk
 
@@ -2037,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "bpe_token_count": q_bpe_token_count,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -2776,6 +2789,28 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+        """,
+        # IDENTICAL exhaustive recompute as ngram_jaccard_pairs: the
+        # prefix-filtered exact join must return the same pair set, so
+        # hash equality here certifies the pruning is lossless
+        "jaccard_prefix_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len({toks_lower}) - 1, 1)),
+                           i -> {toks_lower}[i] || ' ' || {toks_lower}[i+1]
+                                || ' ' || {toks_lower}[i+2]
+                       )) AS grams
+                FROM documents
+                WHERE len({toks_lower}) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))),
+                         4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
         """,
         "cosine_topk": """
             WITH q AS (

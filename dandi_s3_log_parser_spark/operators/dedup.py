@@ -138,6 +138,127 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings_per_token: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs word-n-gram Jaccard >= ``threshold`` via prefix
+    filtering — the scalable exact counterpart to the guarded
+    brute-force :func:`ngram_jaccard_pairs` baseline and the
+    probabilistic :func:`minhash_dedup` family.  Same output contract:
+    ``(id_a, id_b, jaccard)``, and by the prefix-filter lemma the pair
+    set EQUALS the brute-force answer (lossless pruning), which the
+    oracle asserts by recomputing all pairs exhaustively.
+
+    Method (Chaudhuri, Ganti & Kaushik, ICDE 2006; Bayardo, Ma &
+    Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search"): order
+    every document's distinct shingles by a single global total order —
+    ascending document frequency, rarest first, token text as the
+    tie-break — and keep only each document's first
+    ``|x| - ceil(t*|x|) + 1`` tokens as its *prefix*.  Any pair with
+    jaccard >= t has overlap >= ceil(t*|x|) (since |y| >= t*|x| is
+    necessary), so by pigeonhole the two prefixes must share a token:
+    candidates are exactly the pairs co-occurring in one inverted
+    posting list of PREFIX tokens.  A length filter
+    (t*|x| <= |y| and t*|y| <= |x|) prunes inside the join, then the
+    survivors pay one exact verify on the full shingle arrays.
+
+    Scale shape: two shuffles of narrow keys (token-frequency count,
+    prefix-posting self-join) plus one equi-join back to the shingle
+    table for the verify — no cartesian node anywhere, asserted by the
+    plan test.  Prefixes are the globally RAREST tokens, so posting
+    lists are short by construction; ``max_postings_per_token`` is a
+    loud backstop — exceeding it RAISES (silently dropping a hot token
+    would break exactness) with the offending count so the caller can
+    re-shingle (larger n) or fall back to MinHash.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(F.col(id_col).alias("id"), "sh")
+        .filter(F.size("sh") > 0)
+    )
+    exploded = sh.select("id", F.size("sh").alias("sz"),
+                         F.explode("sh").alias("tok"))
+    freq = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df_cnt"))
+    # per-doc tokens in the global (df_cnt, tok) total order; struct
+    # sort_array orders by fields left to right
+    ordered = (
+        exploded.join(freq, "tok")
+        .groupBy("id", "sz")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("df_cnt", "tok"))
+                ),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+    )
+    # overlap lower bound ceil(t*|x|); round() first so binary-float
+    # dust (0.2*5 -> 1.0000000000000002) cannot inflate the ceil and
+    # shorten the prefix below the lossless length
+    alpha = F.ceil(F.round(F.lit(threshold) * F.col("sz"), 6))
+    prefix = ordered.select(
+        "id",
+        "sz",
+        F.explode(
+            F.slice("toks", 1, (F.col("sz") - alpha + 1))
+        ).alias("tok"),
+    )
+    if max_postings_per_token is not None:
+        hot = (
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("postings"))
+            .filter(F.col("postings") > max_postings_per_token)
+            .orderBy(F.col("postings").desc())
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                "jaccard_prefix_join: prefix token "
+                f"{hot[0]['tok']!r} has {hot[0]['postings']} postings "
+                f"(> {max_postings_per_token}); dropping it would break "
+                "exactness — increase n, raise the cap, or use minhash_dedup"
+            )
+    a = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+                      "tok")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
+                      "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") * threshold <= F.col("sz_a"))
+            & (F.col("sz_a") * threshold <= F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("sh").alias("sh_b")), "id_b")
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        verified.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def minhash_signature(sh_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as array<long>: hash family h_i(s) = xxhash64(s, i).
 

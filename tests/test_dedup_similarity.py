@@ -49,6 +49,43 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_jaccard_prefix_join_matches_brute_force(spark, docs):
+    """Prefix filtering is LOSSLESS: the pair set (and scores) must
+    equal the exhaustive baseline at every threshold, including the
+    t=1.0 edge where the prefix shrinks to a single token."""
+    from dandi_s3_log_parser_spark.operators.dedup import jaccard_prefix_join
+
+    for t in (0.2, 0.5, 0.9, 1.0):
+        got = [tuple(r) for r in jaccard_prefix_join(docs, threshold=t).collect()]
+        ref = [tuple(r) for r in
+               ngram_jaccard_pairs(docs, threshold=t, max_rows=10_000).collect()]
+        assert got == ref, f"threshold {t}: {got} != {ref}"
+
+
+def test_jaccard_prefix_join_plan_has_no_cartesian(spark, docs):
+    """Candidate generation must stay an equi-join on prefix tokens —
+    a cartesian/nested-loop node means the filter degenerated."""
+    from dandi_s3_log_parser_spark.operators.dedup import jaccard_prefix_join
+
+    plan = (jaccard_prefix_join(docs, threshold=0.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_prefix_join_hot_token_cap_raises(spark, docs):
+    """The postings backstop RAISES rather than silently dropping a hot
+    prefix token (which would break exactness)."""
+    from dandi_s3_log_parser_spark.operators.dedup import jaccard_prefix_join
+
+    with pytest.raises(ValueError, match="postings"):
+        jaccard_prefix_join(
+            docs, threshold=0.2, max_postings_per_token=1
+        ).collect()
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_prefix_join(docs, threshold=0.0)
+
+
 def test_minhash_lsh_finds_near_dup(spark, docs):
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup(docs, threshold=0.5).collect()}
     assert (0, 1) in pairs
