@@ -1336,6 +1336,41 @@ def q_bpe_merges(spark, sf):
     )
 
 
+# fixed "shipped merges.txt" list for the encode query: realistic
+# English merges in a legal order ('th' exists from merge 0 on).  The
+# oracle replays the IDENTICAL list via chained replace() on a
+# wrapper-delimited symbol string ('‹a›‹b›' -> '‹ab›'), whose global
+# leftmost non-overlapping semantics equal the greedy fold — valid on
+# the fixture because its text contains no '‹'/'›' characters.
+_BPE_ENCODE_MERGES = [
+    ("t", "h"), ("e", "r</w>"), ("i", "n"), ("a", "n"),
+    ("th", "e</w>"), ("o", "u"), ("r", "e"), ("a", "t"),
+]
+
+
+def _bpe_encode_oracle_expr() -> str:
+    s = ("'‹' || array_to_string(string_split(word, ''), '›‹')"
+         " || '</w>' || '›'")
+    for a, b in _BPE_ENCODE_MERGES:
+        s = f"replace({s}, '‹{a}›‹{b}›', '‹{a}{b}›')"
+    return s
+
+
+def q_bpe_encode(spark, sf):
+    """BPE ENCODE with a shipped merge list — the serving half of the
+    train/apply pair: per-document token counts after applying the
+    fixed `_BPE_ENCODE_MERGES` in order.  Encoding runs over distinct
+    words only; the oracle replays every merge with chained replace()
+    on wrapper-delimited symbols and counts the wrappers."""
+    from dandi_s3_log_parser_spark.operators.tokenizer import (
+        bpe_encode_counts,
+    )
+
+    return bpe_encode_counts(
+        _load(spark, sf, "documents"), _BPE_ENCODE_MERGES
+    )
+
+
 def q_temperature_weights(spark, sf):
     """Temperature-based source mixing: p_i ~ n_i^0.3 over per-source
     token sums (XLM-R scheme).  One map-side-combined aggregate to a
@@ -2100,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_top_pairs": q_bpe_top_pairs,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "chunk_fixed_windows": q_chunk_fixed_windows,
         "kmeans_assign": q_kmeans_assign,
         "semdedup_pairs": q_semdedup_pairs,
@@ -3701,6 +3737,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pair_count DESC, a, b
             LIMIT 50
         """.format(toks_lower=toks_lower),
+        # BPE encode: every merge replayed in order via chained
+        # replace() on wrapper-delimited symbols ('‹a›‹b›' -> '‹ab›');
+        # global leftmost non-overlapping replace == greedy fold, and
+        # wrappers make symbol boundaries unambiguous.  Token count =
+        # number of '‹' wrappers remaining.
+        "bpe_encode": """
+            WITH w AS (
+                SELECT doc_id, unnest({toks_lower}) AS word
+                FROM documents
+            ), enc AS (
+                SELECT word,
+                       length({expr}) - length(replace({expr}, '‹', ''))
+                           AS wtoks
+                FROM (SELECT DISTINCT word FROM w)
+            )
+            SELECT w.doc_id, CAST(sum(enc.wtoks) AS BIGINT) AS n_tokens_bpe
+            FROM w JOIN enc USING (word)
+            GROUP BY w.doc_id
+        """.format(toks_lower=toks_lower, expr=_bpe_encode_oracle_expr()),
         # span REMOVAL: same detection chain as repeated_ngram_spans,
         # then coverage = union of hit windows' positions (identical to
         # merged-island coverage), original-case tokens minus covered

@@ -23,7 +23,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_counts", "bpe_pair_counts", "bpe_train"]
+__all__ = [
+    "word_counts", "bpe_pair_counts", "bpe_train", "bpe_encode_counts"
+]
 
 # Sennrich's end-of-word marker: glued onto a word's LAST character so
 # "low" -> [l, o, w</w>] and a merge learned at a word end never
@@ -170,3 +172,54 @@ def bpe_train(
         if (i + 1) % checkpoint_every == 0:
             words = words.localCheckpoint()
     return merges
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 32,
+) -> DataFrame:
+    """Apply a TRAINED merge list (merges.txt, the artifact
+    :func:`bpe_train` produces) to every document and return
+    ``(doc_id, n_tokens_bpe)`` — the tokenize-with-your-tokenizer step
+    of a training-data pipeline, and the serving half of the
+    train/apply pair.  Accepts ``(a, b)`` or ``(a, b, count)`` tuples.
+
+    Scale shape: the corpus text is exploded ONCE into a narrow
+    ``(doc_id, word)`` table; encoding runs over DISTINCT words only
+    (~10^8 rows vs ~10^12 occurrences — the same compression trick as
+    training), one greedy left-to-right fold per merge, each behind its
+    own projection boundary so whole-stage codegen depth stays flat
+    (non-cheap aliases are not re-inlined by CollapseProject; see the
+    :func:`~.dedup.with_shingles` perf note), with ``localCheckpoint``
+    every ``checkpoint_every`` merges to keep the plan bounded for
+    tokenizer-sized merge lists.  Per-doc totals come from one
+    equi-join of the occurrence table with the per-word counts and a
+    map-side-combined sum — the corpus text itself never re-shuffles.
+
+    Documents with no words produce no output row (explode semantics),
+    matching the SQL oracle's inner join.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    words = docs.select(F.col(id_col), F.explode(toks).alias("word"))
+    enc = (
+        words.select("word")
+        .distinct()
+        .select("word", _initial_symbols(F.col("word")).alias("syms"))
+    )
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        enc = enc.select("word", _merge_pair(F.col("syms"), a, b).alias("syms"))
+        if (i + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint()
+    counts = enc.select("word", F.size("syms").alias("wtoks"))
+    return (
+        words.join(counts, "word")
+        .groupBy(id_col)
+        .agg(F.sum("wtoks").alias("n_tokens_bpe"))
+    )

@@ -414,6 +414,64 @@ def test_bpe_train_matches_pure_python_reference(spark):
     assert got == expect
 
 
+def _bpe_apply_py(word, merges):
+    """Pure-Python reference ENCODE: greedy left-to-right application
+    of each merge in order; returns the token count."""
+    syms = list(word[:-1]) + [word[-1] + "</w>"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_bpe_encode_counts_matches_pure_python(spark):
+    from dandi_s3_log_parser_spark.operators.tokenizer import (
+        bpe_encode_counts,
+    )
+
+    rows = [
+        (1, "the theater thin that out"),
+        (2, "aaaa banana than"),
+        (3, "re rereater at"),
+    ]
+    merges = [("t", "h"), ("a", "n"), ("th", "e</w>"), ("a", "a"),
+              ("r", "e"), ("a", "t</w>")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens_bpe"]
+           for r in bpe_encode_counts(d, merges).collect()}
+    expect = {
+        i: sum(_bpe_apply_py(w, merges) for w in text.lower().split())
+        for i, text in rows
+    }
+    assert got == expect
+
+
+def test_bpe_encode_counts_roundtrip_with_trained_merges(spark):
+    """Train on a corpus, then encode the SAME corpus with the learned
+    merges — counts must equal the pure-Python apply, and the empty
+    merge list degenerates to per-word character counts."""
+    from dandi_s3_log_parser_spark.operators.tokenizer import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    text = "low low low lower lower newest newest newest widest widest"
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    trained = bpe_train(d, n_merges=5)
+    pairs = [(a, b) for a, b, _ in trained]
+    got = bpe_encode_counts(d, trained).collect()[0]["n_tokens_bpe"]
+    assert got == sum(_bpe_apply_py(w, pairs) for w in text.split())
+    raw = bpe_encode_counts(d, []).collect()[0]["n_tokens_bpe"]
+    assert raw == sum(len(w) for w in text.split())
+
+
 def test_bpe_train_stops_when_no_pair_repeats(spark):
     from dandi_s3_log_parser_spark.operators.tokenizer import bpe_train
 
