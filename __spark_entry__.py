@@ -1101,6 +1101,35 @@ def q_vocab_topk(spark, sf):
     )
 
 
+def q_source_divergence(spark, sf):
+    """Per-source KL / Jensen-Shannon divergence vs the pooled corpus
+    unigram distribution (data-mixture weighting diagnostic).  Single
+    tokenize; the corpus vocabulary derives from the per-source counts;
+    the out-of-vocabulary tail of the corpus-side JS term collapses to
+    the closed form (1-coverage)*ln2, so no outer join is built (see
+    operator docstring)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        source_divergence,
+    )
+
+    return source_divergence(_load(spark, sf, "documents")).orderBy(
+        "source"
+    )
+
+
+def q_vocab_growth(spark, sf):
+    """Heaps'-law vocabulary-growth curve at 10 doc-id checkpoints
+    (corpus-health signal: vocabulary that keeps growing linearly is
+    accumulating OCR garbage / random ids).  No window, no global sort:
+    per-token first-doc and per-doc token counts fan out through a
+    broadcast non-equi join against the 10-row threshold table."""
+    from dandi_s3_log_parser_spark.operators.curation import vocab_growth
+
+    return vocab_growth(_load(spark, sf, "documents")).orderBy(
+        "checkpoint"
+    )
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-5 TF-IDF terms per document (keyword / topic-indexing
     signal).  One tokenize feeds the (doc,term) count; the df table
@@ -2126,6 +2155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "upsample_corpus": q_upsample_corpus,
         "vocab_topk": q_vocab_topk,
+        "source_divergence": q_source_divergence,
+        "vocab_growth": q_vocab_growth,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
         "select_budget": q_select_budget,
@@ -3081,6 +3112,81 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t JOIN vocab v USING (tok), tot tt
             GROUP BY t.doc_id
             ORDER BY t.doc_id
+        """,
+        # KL needs no OOV correction (corpus contains every source
+        # token); the JS corpus-side OOV tail is the closed form
+        # (1 - coverage) * ln 2 — mirrored from the operator docstring
+        "source_divergence": f"""
+            WITH toks AS (
+                SELECT source,
+                       unnest({_TOKENS.format(col="lower(text)")}) AS tok
+                FROM documents
+            ), per AS (
+                SELECT source, tok, count(*) AS s_cnt
+                FROM toks GROUP BY source, tok
+            ), vocab AS (
+                SELECT tok, sum(s_cnt) AS c_cnt FROM per GROUP BY tok
+            ), st AS (
+                SELECT source, sum(s_cnt) AS s_tot FROM per GROUP BY source
+            ), tot AS (
+                SELECT CAST(sum(c_cnt) AS DOUBLE) AS c_tot FROM vocab
+            )
+            SELECT p.source,
+                   CAST(st.s_tot AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   round(sum(v.c_cnt / tt.c_tot), 6) AS coverage,
+                   round(sum((p.s_cnt / st.s_tot)
+                             * ln((p.s_cnt / st.s_tot)
+                                  / (v.c_cnt / tt.c_tot))), 6) AS kl,
+                   round(0.5 * sum((p.s_cnt / st.s_tot)
+                                   * ln((p.s_cnt / st.s_tot)
+                                        / (((p.s_cnt / st.s_tot)
+                                            + (v.c_cnt / tt.c_tot)) / 2)))
+                         + 0.5 * (sum((v.c_cnt / tt.c_tot)
+                                      * ln((v.c_cnt / tt.c_tot)
+                                           / (((p.s_cnt / st.s_tot)
+                                               + (v.c_cnt / tt.c_tot)) / 2)))
+                                  + (1 - sum(v.c_cnt / tt.c_tot)) * ln(2)),
+                         6) AS js
+            FROM per p
+            JOIN vocab v USING (tok)
+            JOIN st USING (source), tot tt
+            GROUP BY p.source, st.s_tot
+            ORDER BY p.source
+        """,
+        # integer // mirrors the operator's explicit floor (Spark's
+        # double->long cast truncates; DuckDB's rounds)
+        "vocab_growth": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest({_TOKENS.format(col="lower(text)")}) AS tok
+                FROM documents
+            ), doc_tok AS (
+                SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+            ), firsts AS (
+                SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+            ), mx AS (
+                SELECT max(doc_id) AS max_doc FROM documents
+            ), cps AS (
+                SELECT DISTINCT CAST(mx.max_doc * k.k // 10 AS BIGINT)
+                           AS checkpoint
+                FROM mx, range(1, 11) AS k(k)
+            ), tc AS (
+                SELECT c.checkpoint,
+                       CAST(count(*) AS BIGINT) AS cum_docs,
+                       CAST(sum(d.n_tok) AS BIGINT) AS cum_tokens
+                FROM doc_tok d JOIN cps c ON d.doc_id <= c.checkpoint
+                GROUP BY c.checkpoint
+            ), vc AS (
+                SELECT c.checkpoint,
+                       CAST(count(*) AS BIGINT) AS vocab_size
+                FROM firsts f JOIN cps c ON f.first_doc <= c.checkpoint
+                GROUP BY c.checkpoint
+            )
+            SELECT t.checkpoint, t.cum_docs, t.cum_tokens, v.vocab_size,
+                   round(v.vocab_size / t.cum_tokens, 6) AS ttr
+            FROM tc t JOIN vc v USING (checkpoint)
+            ORDER BY t.checkpoint
         """,
         # real PNG decode verified arithmetically: width/height/content
         # are planted as pure functions of media_id (synthetic_png_media

@@ -25,6 +25,8 @@ a hash-bucketed window so no single task sees more than one bucket.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2008,4 +2010,169 @@ def ccnet_buckets(
         .when(F.col("nll") <= c2, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
+    )
+
+
+def source_divergence(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    ndp: int = 6,
+) -> DataFrame:
+    """Per-source KL and Jensen-Shannon divergence of the source's
+    unigram distribution against the pooled corpus distribution — the
+    data-mixture diagnostic used to decide which crawl/source slices to
+    up- or down-weight before training (a source whose JS vs the pool is
+    near ``ln 2`` contributes near-disjoint vocabulary; one near 0 is
+    redundant with the mix).
+
+    With ``P_s`` the source distribution, ``P_c`` the corpus
+    distribution, and ``M = (P_s + P_c) / 2``::
+
+        kl = sum_{tok in s} P_s * ln(P_s / P_c)
+        js = 0.5 * sum_{tok in s} P_s * ln(P_s / M)
+           + 0.5 * [ sum_{tok in s} P_c * ln(P_c / M) + (1 - cov) * ln 2 ]
+
+    where ``cov = sum_{tok in s} P_c`` is the corpus mass covered by the
+    source's vocabulary.  Key identity: a corpus token ABSENT from the
+    source has ``M = P_c / 2`` and so contributes exactly ``P_c * ln 2``
+    to the corpus-side term — the whole out-of-vocabulary tail collapses
+    into the closed form ``(1 - cov) * ln 2``, so NO outer join over the
+    corpus vocabulary is ever built; every sum rides the (source, token)
+    rows that already exist.  KL needs no such correction because
+    ``P_c > 0`` wherever ``P_s > 0`` (the corpus contains the source).
+
+    Returns ``(source, n_tokens, vocab_size, coverage, kl, js)`` rounded
+    to ``ndp`` (cross-engine double-summation jitter is ~1e-12, far
+    inside the rounding); ``0 <= js <= ln 2 ~ 0.6931``.
+
+    Scale shape (10^12 docs): the text is tokenized ONCE; the corpus
+    vocabulary is DERIVED from the per-source counts (``sum`` over
+    sources), not re-aggregated from the explode.  Every exchange
+    carries (token, long) or (source, double) — never text.  The
+    corpus-vocabulary probe is a token-keyed shuffle join (corpus-sized
+    vocab is not broadcast-able at web scale; AQE may still broadcast it
+    at small SF); the per-source totals ride a source-keyed join whose
+    small side is one row per source.  The grand total is a one-row
+    broadcast cross join, not a ``collect``.
+    """
+    from ..operators.dedup import word_tokens
+
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(word_tokens(F.col(text_col))).alias("_tok"),
+    )
+    per = toks.groupBy("source", "_tok").agg(
+        F.count(F.lit(1)).alias("_s_cnt")
+    )
+    vocab = per.groupBy("_tok").agg(F.sum("_s_cnt").alias("_c_cnt"))
+    src_tot = per.groupBy("source").agg(
+        F.sum("_s_cnt").alias("_s_tot")
+    )
+    total = vocab.agg(F.sum("_c_cnt").cast("double").alias("_c_tot"))
+    ps = F.col("_s_cnt") / F.col("_s_tot")
+    pc = F.col("_c_cnt") / F.col("_c_tot")
+    m = (ps + pc) / F.lit(2.0)
+    ln2 = float(math.log(2.0))
+    return (
+        per.join(vocab, "_tok")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.sum("_s_cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.round(F.sum(pc), ndp).alias("coverage"),
+            F.round(F.sum(ps * F.log(ps / pc)), ndp).alias("kl"),
+            F.round(
+                F.lit(0.5) * F.sum(ps * F.log(ps / m))
+                + F.lit(0.5)
+                * (
+                    F.sum(pc * F.log(pc / m))
+                    + (F.lit(1.0) - F.sum(pc)) * F.lit(ln2)
+                ),
+                ndp,
+            ).alias("js"),
+        )
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: at each of ``n_checkpoints``
+    doc-id thresholds, the cumulative document count, cumulative token
+    count, distinct-vocabulary size, and type-token ratio.  A corpus
+    whose vocabulary keeps growing linearly is accumulating noise
+    (OCR garbage, random ids); a healthy web corpus flattens as
+    ``V ~ k * N^beta`` with ``beta ~ 0.5``.
+
+    Checkpoints are ``floor(max_doc_id * k / n)`` for ``k = 1..n`` —
+    integer arithmetic both engines reproduce exactly.
+
+    Scale shape (10^12 docs): NO global sort and NO window.  Each
+    token's FIRST document (``min(doc_id)`` per token — a word-count-
+    shaped aggregate) and each doc's token count are the only state;
+    cumulative values come from a BROADCAST non-equi join of those
+    narrow tables against the ``n_checkpoints``-row threshold table
+    (every row matches <= n checkpoints, so the fan-out is a small
+    constant) followed by a checkpoint-keyed aggregate.  Exchanges
+    carry (token, long) / (doc_id, long) — never text.  The max-doc-id
+    scalar rides a one-row broadcast cross join.
+    """
+    from ..operators.dedup import word_tokens
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(word_tokens(F.col(text_col))).alias("_tok"),
+    )
+    doc_tok = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("_n_tok"))
+    firsts = toks.groupBy("_tok").agg(F.min("_doc").alias("_first_doc"))
+    max_doc = docs.agg(F.max(F.col(id_col)).alias("_max_doc"))
+    cps = (
+        spark.range(1, n_checkpoints + 1)
+        .select(F.col("id").alias("_k"))
+        .crossJoin(F.broadcast(max_doc))
+        .select(
+            # explicit floor: Spark's double->long cast truncates but
+            # DuckDB's rounds, so the oracle mirrors this as integer //
+            F.floor(
+                F.col("_max_doc") * F.col("_k") / F.lit(n_checkpoints)
+            )
+            .cast("long")
+            .alias("checkpoint")
+        )
+        # floor(max*k/n) repeats when max_doc < n_checkpoints; duplicate
+        # threshold rows would double-count through the non-equi join
+        .distinct()
+    )
+    tok_curve = (
+        doc_tok.join(
+            F.broadcast(cps), F.col("_doc") <= F.col("checkpoint")
+        )
+        .groupBy("checkpoint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cum_docs"),
+            F.sum("_n_tok").cast("long").alias("cum_tokens"),
+        )
+    )
+    vocab_curve = (
+        firsts.join(
+            F.broadcast(cps), F.col("_first_doc") <= F.col("checkpoint")
+        )
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    return tok_curve.join(vocab_curve, "checkpoint").select(
+        "checkpoint",
+        "cum_docs",
+        "cum_tokens",
+        "vocab_size",
+        F.round(F.col("vocab_size") / F.col("cum_tokens"), 6).alias("ttr"),
     )

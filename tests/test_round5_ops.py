@@ -548,3 +548,156 @@ def test_ccnet_total_and_tertile_balance(spark):
     assert None not in c
     for b in ("head", "middle", "tail"):
         assert 6 <= c[b] <= 14, c
+
+
+# ---------------------------------------------------------------------------
+# source_divergence (per-source KL / JS vs the pooled corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_source_divergence_hand_computed(spark):
+    """Corpus: source A = 'a a b' (P_A = {a:2/3, b:1/3}), source B =
+    'b c' (P_B = {b:1/2, c:1/2}); pooled P_c = {a:2/5, b:2/5, c:1/5}.
+    KL and JS recomputed in closed form here, including the
+    (1-cov)*ln2 out-of-vocabulary collapse on the corpus side."""
+    import math
+
+    from dandi_s3_log_parser_spark.operators.curation import (
+        source_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "a a b"), (2, "B", "b c")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in source_divergence(df).collect()}
+
+    def expect(ps, pc_all):
+        cov = sum(pc_all[t] for t in ps)
+        kl = sum(p * math.log(p / pc_all[t]) for t, p in ps.items())
+        js_s = sum(
+            p * math.log(p / ((p + pc_all[t]) / 2)) for t, p in ps.items()
+        )
+        js_c = sum(
+            pc_all[t] * math.log(pc_all[t] / ((p + pc_all[t]) / 2))
+            for t, p in ps.items()
+        ) + (1 - cov) * math.log(2)
+        return cov, kl, 0.5 * js_s + 0.5 * js_c
+
+    pc = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    cov_a, kl_a, js_a = expect({"a": 2 / 3, "b": 1 / 3}, pc)
+    a = got["A"]
+    assert (a["n_tokens"], a["vocab_size"]) == (3, 2)
+    assert a["coverage"] == pytest.approx(round(cov_a, 6), abs=1e-9)
+    assert a["kl"] == pytest.approx(round(kl_a, 6), abs=1e-9)
+    assert a["js"] == pytest.approx(round(js_a, 6), abs=1e-9)
+    cov_b, kl_b, js_b = expect({"b": 1 / 2, "c": 1 / 2}, pc)
+    b = got["B"]
+    assert (b["n_tokens"], b["vocab_size"]) == (2, 2)
+    assert b["js"] == pytest.approx(round(js_b, 6), abs=1e-9)
+    # JS is bounded by ln 2 and nonnegative
+    for r in got.values():
+        assert 0.0 <= r["js"] <= math.log(2) + 1e-9
+
+
+def test_source_divergence_single_source_is_zero(spark):
+    """A source identical to the pooled corpus (the only source) has
+    coverage 1, KL 0, JS 0 exactly."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        source_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only", "x y"), (2, "only", "y z")],
+        "doc_id long, source string, text string",
+    )
+    r = source_divergence(df).collect()[0]
+    assert (r["coverage"], r["kl"], r["js"]) == (1.0, 0.0, 0.0)
+
+
+def test_source_divergence_no_text_in_exchanges(spark):
+    """Single tokenize; every exchange carries (token, long) /
+    (source, double) — never the raw text column."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        source_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "alpha beta"), (2, "B", "beta gamma")],
+        "doc_id long, source string, text string",
+    )
+    plan = (
+        source_divergence(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
+    assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth (Heaps'-law type-token curve)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_hand_computed(spark):
+    """4 docs, 4 checkpoints (= every doc id): cumulative docs/tokens/
+    vocab recomputed by hand."""
+    from dandi_s3_log_parser_spark.operators.curation import vocab_growth
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "c c"), (4, "d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["checkpoint"]: r
+        for r in vocab_growth(df, n_checkpoints=4).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    exp = {
+        1: (1, 2, 2),
+        2: (2, 3, 2),
+        3: (3, 5, 3),
+        4: (4, 6, 4),
+    }
+    for cp, (d, t, v) in exp.items():
+        r = rows[cp]
+        assert (r["cum_docs"], r["cum_tokens"], r["vocab_size"]) == (d, t, v)
+        assert r["ttr"] == pytest.approx(round(v / t, 6), abs=1e-9)
+
+
+def test_vocab_growth_duplicate_checkpoints_collapse(spark):
+    """max_doc < n_checkpoints makes floor(max*k/n) repeat; duplicate
+    thresholds must NOT double-count through the non-equi join."""
+    from dandi_s3_log_parser_spark.operators.curation import vocab_growth
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {
+        r["checkpoint"]: r
+        for r in vocab_growth(df, n_checkpoints=10).collect()
+    }
+    # thresholds collapse to {0, 1, 2}; 0 matches nothing and drops out
+    assert set(rows) == {1, 2}
+    assert (rows[1]["cum_docs"], rows[1]["cum_tokens"],
+            rows[1]["vocab_size"]) == (1, 2, 2)
+    assert (rows[2]["cum_docs"], rows[2]["cum_tokens"],
+            rows[2]["vocab_size"]) == (2, 4, 3)
+
+
+def test_vocab_growth_no_window_no_text_shuffle(spark):
+    """The curve is built from broadcast non-equi joins over narrow
+    aggregates — NO Window operator, no text in any exchange."""
+    from dandi_s3_log_parser_spark.operators.curation import vocab_growth
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    plan = (
+        vocab_growth(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
