@@ -1130,6 +1130,16 @@ def q_vocab_growth(spark, sf):
     )
 
 
+def q_zipf_fit(spark, sf):
+    """Zipf's-law fit (OLS of ln count on ln rank over the top-100
+    vocabulary) — one-row corpus-health statistic.  Top-k plans as
+    TakeOrderedAndProject; the only window runs over the 100 surviving
+    rows; the fit is a single closed-form aggregate."""
+    from dandi_s3_log_parser_spark.operators.curation import zipf_fit
+
+    return zipf_fit(_load(spark, sf, "documents"))
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-5 TF-IDF terms per document (keyword / topic-indexing
     signal).  One tokenize feeds the (doc,term) count; the df table
@@ -2157,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "source_divergence": q_source_divergence,
         "vocab_growth": q_vocab_growth,
+        "zipf_fit": q_zipf_fit,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
         "select_budget": q_select_budget,
@@ -3153,6 +3164,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN st USING (source), tot tt
             GROUP BY p.source, st.s_tot
             ORDER BY p.source
+        """,
+        # closed-form OLS sums; ranks tie-break by token in both engines
+        "zipf_fit": f"""
+            WITH vocab AS (
+                SELECT tok, count(*) AS cnt
+                FROM (
+                    SELECT unnest({_TOKENS.format(col="lower(text)")}) AS tok
+                    FROM documents
+                )
+                GROUP BY tok
+                ORDER BY cnt DESC, tok
+                LIMIT 100
+            ), ranked AS (
+                SELECT ln(CAST(row_number()
+                               OVER (ORDER BY cnt DESC, tok) AS DOUBLE))
+                           AS x,
+                       ln(CAST(cnt AS DOUBLE)) AS y
+                FROM vocab
+            ), s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx,
+                       sum(y * y) AS syy
+                FROM ranked
+            )
+            SELECT n AS n_terms,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                               * sx) / n, 6) AS intercept,
+                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                       AS r2
+            FROM s
         """,
         # integer // mirrors the operator's explicit floor (Spark's
         # double->long cast truncates; DuckDB's rounds)

@@ -220,6 +220,9 @@ HEADLINE_QUERIES = (
     "pq_adc_topk",
     "join_size_estimate",
     "encode_tokens",
+    "source_divergence",
+    "vocab_growth",
+    "zipf_fit",
 )
 
 

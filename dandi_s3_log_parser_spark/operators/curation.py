@@ -2176,3 +2176,70 @@ def vocab_growth(
         "vocab_size",
         F.round(F.col("vocab_size") / F.col("cum_tokens"), 6).alias("ttr"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 100,
+    ndp: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the top-``top_k`` vocabulary: ordinary
+    least squares of ``ln(count)`` on ``ln(rank)``.  A natural-language
+    corpus fits with slope near -1 and high R^2; a corpus polluted with
+    machine-generated or templated text flattens (slope toward 0) or
+    kinks (R^2 drops) — a one-row corpus-health statistic cheap enough
+    to track per crawl snapshot.
+
+    Returns one row ``(n_terms, slope, intercept, r2)`` (``intercept``
+    is ``ln(count)`` at rank 1 under the fit; all rounded to ``ndp`` —
+    cross-engine double jitter is far inside the rounding).  Ranks tie-
+    break by token so both engines rank identically.
+
+    Scale shape (10^12 docs): the vocabulary count is a word-count
+    aggregate (map-side combined, (token, long) exchange only); the
+    ordered limit plans as TakeOrderedAndProject (per-partition top-k,
+    no global sort of the vocabulary).  The ONLY window runs over the
+    ``top_k`` surviving rows — constant-sized by construction, never
+    corpus-sized.  The OLS reduces to one aggregate over closed-form
+    sums (n, Sx, Sy, Sxy, Sxx, Syy); nothing is collected.
+    """
+    from ..operators.dedup import word_tokens
+
+    vocab = (
+        docs.select(F.explode(word_tokens(F.col(text_col))).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.desc("_cnt"), "_tok")
+        .limit(top_k)
+    )
+    ranked = vocab.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("_cnt"), "_tok"))
+            .cast("double")
+        ).alias("_x"),
+        F.log(F.col("_cnt").cast("double")).alias("_y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    var_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = cov_n / var_x
+    return agg.select(
+        F.col("_n").alias("n_terms"),
+        F.round(slope, ndp).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / n, ndp).alias(
+            "intercept"
+        ),
+        F.round(cov_n * cov_n / (var_x * var_y), ndp).alias("r2"),
+    )

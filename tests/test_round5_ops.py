@@ -701,3 +701,65 @@ def test_vocab_growth_no_window_no_text_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit (log-log OLS over the top-k vocabulary)
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_exact_zipf_corpus(spark):
+    """Counts exactly proportional to 1/rank (12, 6, 4, 3) fit with
+    slope -1, r2 1, intercept ln(12) to machine precision."""
+    import math
+
+    from dandi_s3_log_parser_spark.operators.curation import zipf_fit
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_fit(df).collect()[0]
+    assert r["n_terms"] == 4
+    assert r["slope"] == pytest.approx(-1.0, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+    assert r["intercept"] == pytest.approx(round(math.log(12), 6), abs=1e-9)
+
+
+def test_zipf_fit_hand_computed_ols(spark):
+    """Non-Zipfian counts: OLS of ln(cnt) on ln(rank) recomputed in
+    numpy; ranks tie-break by token."""
+    import math
+
+    import numpy as np
+
+    from dandi_s3_log_parser_spark.operators.curation import zipf_fit
+
+    # counts: x->5, y->5, z->2 ; tie at 5 ranks x before y (token order)
+    text = " ".join(["x"] * 5 + ["y"] * 5 + ["z"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_fit(df).collect()[0]
+    xs = np.log(np.array([1.0, 2.0, 3.0]))
+    ys = np.log(np.array([5.0, 5.0, 2.0]))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert r["n_terms"] == 3
+    assert r["slope"] == pytest.approx(round(float(slope), 6), abs=1e-9)
+    assert r["intercept"] == pytest.approx(
+        round(float(intercept), 6), abs=1e-9
+    )
+    assert r["r2"] == pytest.approx(round(float(corr) ** 2, 6), abs=1e-9)
+
+
+def test_zipf_fit_topk_plans_as_take_ordered(spark):
+    """The vocabulary top-k must plan as TakeOrderedAndProject (per-
+    partition top-k) — never a global Sort of the vocabulary; the only
+    Window runs AFTER the limit, over at most top_k rows."""
+    from dandi_s3_log_parser_spark.operators.curation import zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha")], "doc_id long, text string"
+    )
+    plan = zipf_fit(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
