@@ -1140,6 +1140,55 @@ def q_zipf_fit(spark, sf):
     return zipf_fit(_load(spark, sf, "documents"))
 
 
+def q_cross_source_overlap(spark, sf):
+    """Pairwise source-level 3-gram shingle overlap matrix (jaccard +
+    containment) — the pre-dedup mixing diagnostic for which crawl
+    slices duplicate each other.  One shingle pass; all exchanges carry
+    (source, 60-bit digest); pair counts ride a shingle-keyed self
+    equi-join whose fan-out is bounded by #sources^2 (dimension-sized).
+    md5-60 token hash so the oracle recomputes the identical digest."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        cross_source_overlap,
+    )
+    from dandi_s3_log_parser_spark.operators.dedup import md5_token_hash_60
+
+    return cross_source_overlap(
+        _load(spark, sf, "documents"), token_hash=md5_token_hash_60
+    )
+
+
+def q_group_split(spark, sf):
+    """Leakage-safe grouped train/val/test split: every document of a
+    source gets the same md5-bucket assignment, so intra-source
+    near-dups can never straddle the split.  Pure projection — no
+    shuffle, no join; byte-reproducible across engines and runs."""
+    from dandi_s3_log_parser_spark.operators.curation import group_split
+
+    return group_split(
+        _load(spark, sf, "documents"), group_col="source"
+    ).orderBy("doc_id")
+
+
+def q_dup_flow_by_source(spark, sf):
+    """Cross-source exact-duplicate flow matrix on a corpus augmented
+    with a deterministic planted re-crawl (every doc_id % 5 == 0 doc
+    re-emitted under 'recrawl_<source>' with a shifted id) — which
+    sources lose documents to which keepers under lowest-id-wins exact
+    dedup.  One digest projection; one (digest, id, source) exchange
+    shared by the keeper aggregate and the member join."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        dup_flow_by_source,
+    )
+
+    d = _load(spark, sf, "documents").select("doc_id", "text", "source")
+    recrawl = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.concat(F.lit("recrawl_"), F.col("source")).alias("source"),
+    )
+    return dup_flow_by_source(d.unionByName(recrawl))
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-5 TF-IDF terms per document (keyword / topic-indexing
     signal).  One tokenize feeds the (doc,term) count; the df table
@@ -2168,6 +2217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "vocab_growth": q_vocab_growth,
         "zipf_fit": q_zipf_fit,
+        "cross_source_overlap": q_cross_source_overlap,
+        "group_split": q_group_split,
+        "dup_flow_by_source": q_dup_flow_by_source,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
         "select_budget": q_select_budget,
@@ -3232,6 +3284,82 @@ def oracle_sql() -> dict[str, str]:
                    round(v.vocab_size / t.cum_tokens, 6) AS ttr
             FROM tc t JOIN vc v USING (checkpoint)
             ORDER BY t.checkpoint
+        """,
+        # gram digest = md5-60 of the joined 3-gram, identical on both
+        # engines by construction (same formula as the simhash oracle)
+        "cross_source_overlap": f"""
+            WITH toks AS (
+                SELECT source, {_TOKENS.format(col="lower(text)")} AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT source,
+                       CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                           AS h
+                FROM (
+                    SELECT source,
+                           unnest(list_transform(
+                               range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           )) AS g
+                    FROM toks
+                )
+            ), sizes AS (
+                SELECT source, count(*) AS n FROM grams GROUP BY source
+            ), common AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS common
+                FROM grams a JOIN grams b
+                  ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT c.source_a, c.source_b,
+                   CAST(sa.n AS BIGINT) AS grams_a,
+                   CAST(sb.n AS BIGINT) AS grams_b,
+                   CAST(c.common AS BIGINT) AS common,
+                   round(CAST(c.common AS DOUBLE)
+                         / (sa.n + sb.n - c.common), 4) AS jaccard,
+                   round(CAST(c.common AS DOUBLE)
+                         / least(sa.n, sb.n), 4) AS containment
+            FROM common c
+            JOIN sizes sa ON c.source_a = sa.source
+            JOIN sizes sb ON c.source_b = sb.source
+            ORDER BY source_a, source_b
+        """,
+        "group_split": """
+            SELECT doc_id, source,
+                   CASE
+                     WHEN CAST(concat('0x', substr(md5(source), 1, 4))
+                               AS INTEGER) % 100 < 90 THEN 'train'
+                     WHEN CAST(concat('0x', substr(md5(source), 1, 4))
+                               AS INTEGER) % 100 < 95 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        # keeper = min(id) per digest; (dig, id) is unique in the
+        # augmented corpus (originals < 1e6, recrawls shifted by 1e6),
+        # so the keeper's source is a plain re-join, exactly the Spark
+        # min(struct(id, src)) semantics
+        "dup_flow_by_source": """
+            WITH aug AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, 'recrawl_' || source
+                FROM documents WHERE doc_id % 5 = 0
+            ), d AS (
+                SELECT md5(text) AS dig, doc_id AS id, source AS src
+                FROM aug
+            ), keeper AS (
+                SELECT dig, min(id) AS kid FROM d GROUP BY dig
+            ), kp AS (
+                SELECT k.dig, k.kid, d.src AS ksrc
+                FROM keeper k JOIN d ON d.dig = k.dig AND d.id = k.kid
+            )
+            SELECT kp.ksrc AS source_kept, d.src AS source_dropped,
+                   CAST(count(*) AS BIGINT) AS dup_docs
+            FROM d JOIN kp ON d.dig = kp.dig
+            WHERE d.id <> kp.kid
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # real PNG decode verified arithmetically: width/height/content
         # are planted as pure functions of media_id (synthetic_png_media

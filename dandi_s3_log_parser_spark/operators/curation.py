@@ -2243,3 +2243,180 @@ def zipf_fit(
         ),
         F.round(cov_n * cov_n / (var_x * var_y), ndp).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap / duplicate-flow diagnostics, grouped splits
+# ---------------------------------------------------------------------------
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    token_hash=None,
+    ndp: int = 4,
+) -> DataFrame:
+    """Pairwise source-level shingle overlap matrix — which crawls /
+    source slices duplicate each other BEFORE document dedup runs.
+
+    For every unordered source pair ``(a, b)`` (``a < b`` lexically)
+    sharing at least one distinct word-``n``-gram shingle, returns
+    ``(source_a, source_b, grams_a, grams_b, common, jaccard,
+    containment)`` where ``jaccard = common / (grams_a + grams_b -
+    common)`` and ``containment = common / min(grams_a, grams_b)`` (a
+    near-1 containment with a small jaccard means the smaller source is
+    a subset of the larger — the classic re-crawl signature).  Rounded
+    to ``ndp``; sorted by pair.
+
+    ``token_hash``: Column->Column hash family applied per shingle;
+    default ``xxhash64`` (fast path), pass
+    :func:`~..operators.dedup.md5_token_hash_60` for oracle-verifiable
+    output (the external engine recomputes the identical digest).
+
+    Scale shape (10^12 docs, S sources): text is shingled ONCE
+    (:func:`~..operators.dedup.with_shingles`, linear-time); everything
+    after the per-source distinct rides ``(source, long)`` rows — the
+    corpus text never reaches a shuffle.  The pair counts come from a
+    shingle-keyed self equi-join whose per-key fan-out is bounded by
+    ``S^2`` (S = number of sources, dimension-sized by definition — 20
+    here, dozens in a real mix, never corpus-scale); the per-source
+    totals attach as two broadcast joins of an S-row table.  No window,
+    no crossJoin, no collect.
+    """
+    from ..operators.dedup import with_shingles
+
+    hash_fn = token_hash or F.xxhash64
+    per = (
+        with_shingles(docs, text_col, n, out_col="_sh")
+        .select(
+            F.col(source_col).alias("_src"),
+            F.explode("_sh").alias("_gram"),
+        )
+        .select("_src", hash_fn(F.col("_gram")).alias("_h"))
+        .distinct()
+    )
+    sizes = per.groupBy("_src").agg(F.count(F.lit(1)).alias("_n_grams"))
+    a = per.select(F.col("_src").alias("source_a"), "_h")
+    b = per.select(F.col("_src").alias("source_b"), "_h")
+    common = (
+        a.join(b, "_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ga, gb = F.col("grams_a"), F.col("grams_b")
+    c = F.col("common").cast("double")
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("_n_grams", "grams_a")),
+            common.source_a == sizes._src,
+        )
+        .drop("_src")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("_n_grams", "grams_b")),
+            common.source_b == sizes._src,
+        )
+        .drop("_src")
+        .select(
+            "source_a",
+            "source_b",
+            ga.cast("long").alias("grams_a"),
+            gb.cast("long").alias("grams_b"),
+            F.col("common").cast("long").alias("common"),
+            F.round(c / (ga + gb - c), ndp).alias("jaccard"),
+            F.round(c / F.least(ga, gb), ndp).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def group_split(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Leakage-safe train/val/test split keyed on a GROUP, not the doc.
+
+    :func:`hash_split` buckets each document independently, so two
+    near-duplicate pages from the same site/domain/crawl-group can land
+    on opposite sides of the split and leak.  The standard fix (grouped
+    split) buckets ``md5(group)`` instead: every document of a group
+    gets the same assignment, so intra-group near-dups can never
+    straddle train/test.  The trade is granularity — the realized split
+    fractions deviate from the targets by up to the largest group's
+    share, which is why the output keeps ``group_col`` visible for
+    auditing.
+
+    Same determinism contract as :func:`hash_split`: bucket = first 4
+    hex digits of ``md5(group)`` mod 100 — reproducible across runs,
+    engines, partitionings, and cluster sizes; a held-out group stays
+    held out forever, including across crawl snapshots that add new
+    documents to it.  Pure projection: NO shuffle, no join, no state.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(group_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def dup_flow_by_source(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-duplicate FLOW matrix: when exact dedup keeps
+    the lowest-id copy, which sources lose documents to which keepers?
+
+    For every duplicate document (same ``md5(text)`` digest, not the
+    cluster keeper), emits one unit of flow ``(source_kept,
+    source_dropped)``; returns the matrix ``(source_kept,
+    source_dropped, dup_docs)`` sorted.  A heavy ``(A, B)`` cell with a
+    light ``(B, A)`` cell means B is substantially a re-crawl of A —
+    the per-pair directional evidence that :func:`cross_source_overlap`
+    (set-level, pre-dedup) cannot give, and the audit artifact for "how
+    many documents did source X actually contribute after dedup?".
+
+    Scale shape (10^12 docs): one digest projection (text is hashed in
+    place, never shuffled), one ``(digest, id, source)`` exchange shared
+    by the keeper aggregate and the member join (same key -> AQE reuses
+    the partitioning), keeper chosen as ``min(struct(id, source))`` —
+    an aggregate, not a window.  Digest skew is physically bounded: a
+    digest's fan-in is its exact-duplicate count, and the join output
+    per digest is (count - 1) rows, the same rows exact dedup itself
+    must touch.
+    """
+    d = docs.select(
+        F.md5(F.col(text_col)).alias("_dig"),
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("_src"),
+    )
+    keeper = d.groupBy("_dig").agg(
+        F.min(F.struct("_id", "_src")).alias("_k")
+    )
+    return (
+        d.join(keeper, "_dig")
+        .filter(F.col("_id") != F.col("_k._id"))
+        .groupBy(
+            F.col("_k._src").alias("source_kept"),
+            F.col("_src").alias("source_dropped"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_docs"))
+        .orderBy("source_kept", "source_dropped")
+    )

@@ -763,3 +763,179 @@ def test_zipf_fit_topk_plans_as_take_ordered(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line
+
+
+# ---------------------------------------------------------------------------
+# cross_source_overlap (pairwise source shingle-overlap matrix)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_overlap_hand_computed(spark):
+    """A = 'a b c d' -> 3-grams {abc, bcd}; B = 'b c d e' -> {bcd, cde};
+    common = {bcd}: jaccard 1/3, containment 1/2."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        cross_source_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "a b c d"), (2, "B", "b c d e")],
+        "doc_id long, source string, text string",
+    )
+    rows = cross_source_overlap(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert (r["grams_a"], r["grams_b"], r["common"]) == (2, 2, 1)
+    assert r["jaccard"] == pytest.approx(round(1 / 3, 4))
+    assert r["containment"] == pytest.approx(0.5)
+
+
+def test_cross_source_overlap_disjoint_sources_absent(spark):
+    """Sources sharing no shingle produce NO row (inner join on the
+    shingle digest), and per-doc repeats don't inflate counts
+    (distinct (source, digest) before the pair join)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        cross_source_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "a b c"),
+            (2, "A", "a b c"),  # duplicate doc, same source
+            (3, "B", "x y z"),
+            (4, "C", "a b c x"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_overlap(df).collect()
+    }
+    assert set(got) == {("A", "C")}  # A-B and B-C disjoint
+    assert got[("A", "C")]["grams_a"] == 1  # dup doc counted once
+
+
+def test_cross_source_overlap_text_never_shuffled(spark):
+    """Shingles are digested in the scan stage; every exchange carries
+    (source, long) or counts — never the text or raw gram strings."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        cross_source_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "a b c d"), (2, "B", "b c d e")],
+        "doc_id long, source string, text string",
+    )
+    plan = (
+        cross_source_overlap(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and "_gram#" not in line
+    assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# group_split (leakage-safe grouped train/val/test split)
+# ---------------------------------------------------------------------------
+
+
+def test_group_split_whole_group_same_side(spark):
+    """Every document of a group gets the identical assignment, equal to
+    the md5-bucket recomputed here from first principles."""
+    import hashlib
+
+    from dandi_s3_log_parser_spark.operators.curation import group_split
+
+    rows = [(i, f"grp{i % 7}", "t") for i in range(70)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = group_split(df).collect()
+    for r in got:
+        b = int(hashlib.md5(r["source"].encode()).hexdigest()[:4], 16) % 100
+        want = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert r["split"] == want, (r, b)
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_grp.values())
+
+
+def test_group_split_is_a_pure_projection(spark):
+    """No shuffle at all: the physical plan has zero Exchange nodes."""
+    from dandi_s3_log_parser_spark.operators.curation import group_split
+
+    df = spark.createDataFrame(
+        [(1, "g", "t")], "doc_id long, source string, text string"
+    )
+    plan = (
+        group_split(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# dup_flow_by_source (cross-source exact-duplicate flow matrix)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_flow_by_source_hand_computed(spark):
+    """Digest 'x' cluster keeps id 1 (source A) and drops ids 2, 4
+    (both B) -> (A, B, 2); same-source pair 'z' -> (C, C, 1); unique
+    'y' contributes nothing."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        dup_flow_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", "A"),
+            (2, "x", "B"),
+            (3, "y", "B"),
+            (4, "x", "B"),
+            (5, "z", "C"),
+            (6, "z", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_kept"], r["source_dropped"]): r["dup_docs"]
+        for r in dup_flow_by_source(df).collect()
+    }
+    assert got == {("A", "B"): 2, ("C", "C"): 1}
+
+
+def test_dup_flow_by_source_no_dups_empty(spark):
+    from dandi_s3_log_parser_spark.operators.curation import (
+        dup_flow_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "A"), (2, "b", "B")],
+        "doc_id long, text string, source string",
+    )
+    assert dup_flow_by_source(df).count() == 0
+
+
+def test_dup_flow_by_source_text_never_shuffled(spark):
+    """The text is digested in place; every exchange carries
+    (digest, id, source) — never the text column."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        dup_flow_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "A"), (2, "x", "B")],
+        "doc_id long, text string, source string",
+    )
+    plan = (
+        dup_flow_by_source(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
+    assert "Window" not in plan
