@@ -1189,6 +1189,22 @@ def q_dup_flow_by_source(spark, sf):
     return dup_flow_by_source(d.unionByName(recrawl))
 
 
+def q_score_percentile(spark, sf):
+    """Per-source percentile normalization of a quality score (here
+    n_chars) — the calibration that makes one global keep-threshold
+    mean the same selection pressure on every crawl slice.  Exact
+    percent_rank semantics WITHOUT a corpus-scale window: strictly-
+    below counts ride a (source, score) histogram cumulated over the
+    dimension-sized histogram only, broadcast-joined back."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        score_percentile_by_source,
+    )
+
+    return score_percentile_by_source(
+        _load(spark, sf, "documents"), score_col="n_chars"
+    )
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-5 TF-IDF terms per document (keyword / topic-indexing
     signal).  One tokenize feeds the (doc,term) count; the df table
@@ -2220,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_overlap": q_cross_source_overlap,
         "group_split": q_group_split,
         "dup_flow_by_source": q_dup_flow_by_source,
+        "score_percentile": q_score_percentile,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk": q_bm25_topk,
         "select_budget": q_select_budget,
@@ -3335,6 +3352,15 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'test'
                    END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "score_percentile": """
+            SELECT doc_id, source, n_chars AS score,
+                   round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY n_chars
+                   ), 6) AS pct_in_source
+            FROM documents
+            WHERE n_chars IS NOT NULL
+            ORDER BY doc_id
         """,
         # keeper = min(id) per digest; (dig, id) is unique in the
         # augmented corpus (originals < 1e6, recrawls shifted by 1e6),

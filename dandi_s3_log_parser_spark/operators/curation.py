@@ -2420,3 +2420,69 @@ def dup_flow_by_source(
         .agg(F.count(F.lit(1)).cast("long").alias("dup_docs"))
         .orderBy("source_kept", "source_dropped")
     )
+
+
+def score_percentile_by_source(
+    docs: DataFrame,
+    *,
+    score_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    ndp: int = 6,
+) -> DataFrame:
+    """Per-source percentile normalization of a quality score — the
+    calibration step that makes ONE global keep-threshold meaningful
+    across heterogeneous crawl slices.
+
+    A raw score cut ("keep docs with score > 3.2") silently keeps 80%
+    of a clean source and 5% of a noisy one; filtering on the
+    WITHIN-SOURCE percentile ("keep the top 30% of every source")
+    equalizes the selection pressure.  Emits ``(id_col, source_col,
+    score, pct_in_source)`` with ``pct_in_source`` = SQL
+    ``percent_rank() OVER (PARTITION BY source ORDER BY score)`` =
+    (#strictly-lower-scored docs in the source) / (n_source - 1),
+    ties sharing the lower rank, 0.0 for a single-doc source; rounded
+    to ``ndp``.  Rows with a NULL score are excluded (no defined rank).
+
+    Scale shape (10^12 docs): NO window over the corpus.  The
+    strictly-below counts come from a ``(source, score)`` histogram —
+    bounded by sources x distinct score values, i.e. dimension-sized
+    for the integer/rounded scores quality pipelines use — cumulated
+    with a window over THAT histogram (partitioned by source, tiny),
+    then broadcast-joined back onto the documents.  The corpus itself
+    is touched by exactly one partial-aggregate exchange and one
+    broadcast-hash join: no sort, no skew hazard from corpus-scale
+    sources.
+    """
+    s, src = F.col(score_col), F.col(source_col)
+    base = docs.filter(s.isNotNull()).select(
+        F.col(id_col), src.alias(source_col), s.alias("score")
+    )
+    hist = base.groupBy(source_col, "score").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        source_col,
+        "score",
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_below"),
+        (F.sum("_c").over(Window.partitionBy(source_col)) - 1).alias("_nm1"),
+    )
+    return (
+        base.join(F.broadcast(cum), [source_col, "score"])
+        .select(
+            id_col,
+            source_col,
+            "score",
+            F.round(
+                F.when(F.col("_nm1") > 0, F.col("_below") / F.col("_nm1"))
+                .otherwise(F.lit(0.0)),
+                ndp,
+            ).alias("pct_in_source"),
+        )
+        .orderBy(id_col)
+    )

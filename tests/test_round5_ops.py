@@ -939,3 +939,78 @@ def test_dup_flow_by_source_text_never_shuffled(spark):
         if "Exchange" in line:
             assert "text#" not in line
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# score_percentile_by_source (per-source percent_rank normalization)
+# ---------------------------------------------------------------------------
+
+
+def test_score_percentile_hand_computed(spark):
+    """Source A scores [10, 20, 20, 30]: percent_rank = 0, 1/3, 1/3, 1
+    (ties share the lower rank); single-doc source B -> 0.0; NULL
+    score row excluded."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        score_percentile_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10),
+            (2, "A", 20),
+            (3, "A", 20),
+            (4, "A", 30),
+            (5, "B", 99),
+            (6, "B", None),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r["pct_in_source"]
+        for r in score_percentile_by_source(df, score_col="n_chars").collect()
+    }
+    third = round(1 / 3, 6)
+    assert got == {1: 0.0, 2: third, 3: third, 4: 1.0, 5: 0.0}
+
+
+def test_score_percentile_no_corpus_window(spark):
+    """The window runs over the (source, score) histogram only: every
+    Window node in the plan sits above an aggregate, and no exchange
+    carries the doc_id column (the corpus side is join-probe only)."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        score_percentile_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i * 7 % 50) for i in range(60)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = score_percentile_by_source(df, score_col="n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "doc_id#" not in line
+
+
+def test_score_percentile_threshold_equalizes_sources(spark):
+    """Filtering pct_in_source >= 0.8 keeps ~the same fraction of every
+    source regardless of each source's raw score range."""
+    from dandi_s3_log_parser_spark.operators.curation import (
+        score_percentile_by_source,
+    )
+
+    rows = [(i, "lo", i) for i in range(100)] + [
+        (1000 + i, "hi", 100000 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    kept = (
+        score_percentile_by_source(df, score_col="n_chars")
+        .filter("pct_in_source >= 0.8")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert {r["source"]: r["count"] for r in kept} == {"lo": 20, "hi": 20}
