@@ -2200,10 +2200,14 @@ def zipf_fit(
     Scale shape (10^12 docs): the vocabulary count is a word-count
     aggregate (map-side combined, (token, long) exchange only); the
     ordered limit plans as TakeOrderedAndProject (per-partition top-k,
-    no global sort of the vocabulary).  The ONLY window runs over the
-    ``top_k`` surviving rows — constant-sized by construction, never
-    corpus-sized.  The OLS reduces to one aggregate over closed-form
-    sums (n, Sx, Sy, Sxy, Sxx, Syy); nothing is collected.
+    no global sort of the vocabulary).  Ranks are assigned WITHOUT a
+    window (WindowExec with no PARTITION BY is single-task at any
+    cluster size): the ``top_k`` surviving rows fold into ONE sorted
+    array — constant-sized by construction — and the OLS sums
+    (n, Sx, Sy, Sxy, Sxx, Syy) evaluate as higher-order array
+    expressions in a single projection; nothing is collected and the
+    summation order is fixed, so the statistic is bit-deterministic
+    across partitionings.
     """
     from ..operators.dedup import word_tokens
 
@@ -2214,21 +2218,36 @@ def zipf_fit(
         .orderBy(F.desc("_cnt"), "_tok")
         .limit(top_k)
     )
-    ranked = vocab.select(
-        F.log(
-            F.row_number()
-            .over(Window.orderBy(F.desc("_cnt"), "_tok"))
-            .cast("double")
-        ).alias("_x"),
-        F.log(F.col("_cnt").cast("double")).alias("_y"),
+    # array index i (0-based) == rank - 1 once sorted by (desc cnt,
+    # asc token) — encoded as ascending (-cnt, token) for sort_array
+    arr = vocab.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("_cnt")).alias("_neg"), F.col("_tok").alias("_t")
+                )
+            )
+        ).alias("_a")
+    ).select(
+        F.expr(
+            "transform(_a, (s, i) -> struct("
+            "  ln(cast(i + 1 as double)) as x,"
+            "  ln(cast(-s._neg as double)) as y))"
+        ).alias("_p")
     )
-    agg = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
-        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+
+    def _fold(expr: str, alias: str):
+        return F.expr(
+            f"aggregate(_p, cast(0.0 as double), (acc, s) -> acc + {expr})"
+        ).alias(alias)
+
+    agg = arr.select(
+        F.size("_p").cast("long").alias("_n"),
+        _fold("s.x", "_sx"),
+        _fold("s.y", "_sy"),
+        _fold("s.x * s.y", "_sxy"),
+        _fold("s.x * s.x", "_sxx"),
+        _fold("s.y * s.y", "_syy"),
     )
     n = F.col("_n").cast("double")
     cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")

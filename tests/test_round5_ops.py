@@ -751,8 +751,8 @@ def test_zipf_fit_hand_computed_ols(spark):
 
 def test_zipf_fit_topk_plans_as_take_ordered(spark):
     """The vocabulary top-k must plan as TakeOrderedAndProject (per-
-    partition top-k) — never a global Sort of the vocabulary; the only
-    Window runs AFTER the limit, over at most top_k rows."""
+    partition top-k) — never a global Sort of the vocabulary; rank
+    assignment is window-free (sorted-array fold over <= top_k rows)."""
     from dandi_s3_log_parser_spark.operators.curation import zipf_fit
 
     df = spark.createDataFrame(
