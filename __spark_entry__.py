@@ -784,7 +784,7 @@ def q_pq_assign(spark, sf):
     from dandi_s3_log_parser_spark.operators.similarity import pq_assign
 
     return pq_assign(
-        _load(spark, sf, "embeddings"), m=4, k=8, iters=2
+        _load_spread(spark, sf, "embeddings"), m=4, k=8, iters=2
     )
 
 
@@ -846,7 +846,7 @@ def q_pq_adc_topk(spark, sf):
     oracle recomputes codes, tables, distances, and ranks exactly."""
     from dandi_s3_log_parser_spark.operators.similarity import pq_adc_topk
 
-    emb = _load(spark, sf, "embeddings")
+    emb = _load_spread(spark, sf, "embeddings")
     return pq_adc_topk(
         emb, emb.filter(F.col("vec_id") < 3).withColumnRenamed(
             "vec_id", "query_id"
@@ -1331,7 +1331,7 @@ def q_kmeans_assign(spark, sf):
     argmin.  The oracle unrolls both iterations in SQL."""
     from dandi_s3_log_parser_spark.operators.similarity import kmeans_assign
 
-    return kmeans_assign(_load(spark, sf, "embeddings"), k=8, iters=2)
+    return kmeans_assign(_load_spread(spark, sf, "embeddings"), k=8, iters=2)
 
 
 def q_semdedup_pairs(spark, sf):
@@ -1342,7 +1342,7 @@ def q_semdedup_pairs(spark, sf):
     in SQL and recomputes every intra-cell cosine."""
     from dandi_s3_log_parser_spark.operators.similarity import semdedup_pairs
 
-    return semdedup_pairs(_load(spark, sf, "embeddings"), 0.3, k=32, iters=2)
+    return semdedup_pairs(_load_spread(spark, sf, "embeddings"), 0.3, k=32, iters=2)
 
 
 def q_repeated_ngram_spans(spark, sf):

@@ -67,10 +67,52 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+def _probe_dim(emb: DataFrame, vec_col: str) -> int | None:
+    """Vector length from one row (None on empty input) — a 1-row
+    driver lookup used to pick the unrolled codegen kernels; the
+    kernels themselves stay correct for any row via their size
+    guards."""
+    r = emb.select(F.size(F.col(vec_col)).alias("_d")).head(1)
+    return int(r[0]["_d"]) if r and r[0]["_d"] is not None else None
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
     )
+
+
+def dot_fast(a: Column, b: Column, dim: int | None) -> Column:
+    """``dot`` with a known-``dim`` unrolled codegen path: the add
+    chain starts at the same 0.0 and runs the same left-to-right
+    sequence as the ``aggregate`` fold, so the double result is
+    bit-identical in every case (±0.0, NaN, NULL propagation) while
+    compiling to whole-stage codegen instead of an interpreted
+    per-element HOF loop (guide §4: HOFs are CodegenFallback).  Worth
+    it ONLY on pair-scale inputs (millions of evaluations amortize
+    the larger codegen compile); per-row stages measured FASTER with
+    the plain fold.  Size-guarded, falling back to the fold whenever
+    ``dim`` is unknown or a row's shape differs."""
+    if not dim:
+        return dot(a, b)
+    s = F.lit(0.0)
+    for i in range(dim):
+        s = s + F.element_at(a, i + 1).cast("double") * F.element_at(
+            b, i + 1
+        ).cast("double")
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), s).otherwise(
+        dot(a, b)
+    )
+
+
+def norm_fast(a: Column, dim: int | None) -> Column:
+    if not dim:
+        return norm(a)
+    s = F.lit(0.0)
+    for i in range(dim):
+        e = F.element_at(a, i + 1)
+        s = s + e.cast("double") * e
+    return F.when(F.size(a) == dim, F.sqrt(s)).otherwise(norm(a))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -657,16 +699,20 @@ def semdedup_pairs(
     # per-row norm fold is the same expression evaluated on the same
     # vector, so the rounded cosine is bit-identical to the inline
     # form (measured ~2x on the pair stage; 64-dim folds are HOF
-    # lambda steps, the dominant per-pair cost)
+    # lambda steps, the dominant per-pair cost).  The dot itself runs
+    # the unrolled known-dim codegen kernel (bit-identical to the
+    # fold, guide §4) — the per-pair HOF fold was this operator's
+    # actual bottleneck, not the pair count.
+    dim = _probe_dim(emb, vec_col)
     j = asg.join(
         emb.select(
-            id_col, vec_col, norm(F.col(vec_col)).alias("_nrm")
+            id_col, vec_col, norm_fast(F.col(vec_col), dim).alias("_nrm")
         ),
         id_col,
     )
     a, b = j.alias("a"), j.alias("b")
     cos = F.round(
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        dot_fast(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
         / (F.col("a._nrm") * F.col("b._nrm")),
         ndp,
     )
