@@ -930,26 +930,31 @@ def containment_near_dup(
       (collision odds at 64 bits are ~n^2/2^65 per posting list,
       negligible and deterministic);
     - postings with document frequency > ``df_cap`` are dropped BEFORE
-      the self-join (boilerplate grams would otherwise contribute
-      df^2 join rows); the cap bounds any digest's join fan-out at
-      df_cap^2, the standard candidate-generation guard.  A pair whose
+      candidate generation (boilerplate grams would otherwise
+      contribute df^2 join rows); the cap bounds any digest's join
+      fan-out, the standard candidate-generation guard.  A pair whose
       ONLY shared grams are ultra-common is missed — acceptable,
       because containment evidenced solely by boilerplate is exactly
       the false-positive class the cap exists to kill;
-    - candidates are (id_a, id_b) pairs from the postings join with
-      their shared-rare-gram COUNT (the aggregate replaces a bare
-      distinct at identical shuffle shape), and pairs that cannot
-      reach the threshold are pruned BEFORE the verify join by an
-      exact-safe upper bound: shingle sets are distinct per doc, so
-      ``|A∩B| <= shared_rare + min(|A|-|A_rare|, |B|-|B_rare|)``
-      (every non-shared-rare intersection gram must be capped-common
-      on BOTH sides).  Only pairs whose bound clears the threshold
-      haul their full shingle arrays into the verify join — the wide
-      part of the plan — which on random-collision-heavy corpora is
-      the difference between verifying millions of 1-shared-gram
-      pairs and verifying the handful of real suspects (measured at
-      sf0.1: 10.8 s -> see bench record; CPU dominated by the verify
-      join before the prune);
+    - candidate generation is an s-match PREFIX-FILTER join (Chaudhuri
+      et al. ICDE'06 / Bayardo WWW'07, generalised to the asymmetric
+      overlap bound, plus the PPJoin positional filter, Xiao et al.
+      WWW'08): rank each doc's rare digests in the global
+      (df, digest) order; a reported pair needs ``c = ceil(t'*|A|)``
+      intersection grams of which at least ``c_r = c - |A_common|``
+      must be rare, so by pigeonhole B holds >= s of A's first
+      ``|A_rare| - c_r + s`` rare grams (s = 2 here) — the probe side
+      posts only that prefix, the build side posts all rare postings
+      with their ranks, a per-row positional filter
+      ``s + min(|A_r|-i, |B_r|-j) >= c_r`` discards matches that
+      cannot reach the bound even in principle (sound for the s
+      canonically-smallest shared grams, which is what the >= s count
+      below consumes), and only pairs with >= s surviving matches go
+      to verification.  On the dense synthetic fixture this cuts the
+      candidate exchange from 263M shared-gram events / 234M distinct
+      pairs to ~33M events / ~0.6M verify pairs at sf1.0 (measured);
+      ``t'`` carries a 1e-4 slack so float wobble can only ADD
+      candidates, never drop one the exact verify would keep;
     - survivors are then verified EXACTLY: both sides' full shingle
       arrays are joined back in (suspect-sized join, not corpus-sized)
       and the true intersection over the FULL sets — common grams
@@ -958,69 +963,72 @@ def containment_near_dup(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"need 0 < threshold <= 1; got {threshold}")
+    s_matches = 2
     sh = (
         with_shingles(df, text_col, n)
         .select(F.col(id_col).alias("id"), "sh")
         .filter(F.size("sh") > 0)
     )
+    # postings carry |sh| from the explode (no per-doc stats re-join)
     posts = sh.select(
-        "id", F.explode("sh").alias("_g")
-    ).select("id", F.xxhash64("_g").alias("_d"))
+        "id", F.size("sh").alias("_n"), F.explode("sh").alias("_g")
+    ).select("id", "_n", F.xxhash64("_g").alias("_d"))
     rare = posts.join(
         posts.groupBy("_d")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= df_cap)
-        .select("_d"),
+        .filter(F.col("_df") <= df_cap),
         "_d",
     )
-    # per-doc totals: |sh| and how many of its digests survived the cap
-    stats = (
-        sh.select("id", F.size("sh").alias("_n"))
-        .join(
-            rare.groupBy("id").agg(F.count(F.lit(1)).alias("_nr")),
-            "id",
-            "left",
-        )
-        .select("id", "_n", F.coalesce("_nr", F.lit(0)).alias("_nr"))
+    # per-doc canonical ranking of rare digests: global (df, digest)
+    # order restricted to the doc — one narrow id-keyed exchange
+    w_id = Window.partitionBy("id")
+    ranked = rare.select(
+        "id",
+        "_n",
+        "_d",
+        F.row_number().over(w_id.orderBy("_df", "_d")).alias("_rk"),
+        F.count(F.lit(1)).over(w_id).alias("_nr"),
     )
-    shared = (
-        rare.alias("a")
-        .join(
-            rare.alias("b"),
-            (F.col("a._d") == F.col("b._d"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("_shared"))
+    # c: intersection grams needed for round(|A∩B|/|A|,4) >= t (1e-4
+    # slack below the true boundary — recall-safe); c_r: how many of
+    # them must be rare; s_a: matches demanded among the prefix
+    c = F.greatest(
+        F.ceil(F.lit(threshold - 1e-4) * F.col("_n")), F.lit(1)
     )
-    # upper-bound prune (rounding matches the final filter, so the
-    # bound can never kill a pair the exact verify would keep)
-    ub = (
-        F.col("_shared")
-        + F.least(
-            F.col("_na") - F.col("_nra"), F.col("_nb") - F.col("_nrb")
-        )
-    ) / F.col("_na")
+    c_r = c - (F.col("_n") - F.col("_nr"))
+    s_a = F.least(F.lit(s_matches), F.greatest(c_r, F.lit(1)))
+    probe = ranked.select(
+        "id",
+        "_d",
+        "_rk",
+        "_nr",
+        c_r.alias("_cr"),
+        s_a.alias("_sa"),
+    ).filter(
+        F.col("_rk")
+        <= F.col("_nr") - F.greatest(F.col("_cr"), F.lit(1)) + F.col("_sa")
+    )
     cand = (
-        shared.join(
-            stats.select(
-                F.col("id").alias("id_a"),
-                F.col("_n").alias("_na"),
-                F.col("_nr").alias("_nra"),
-            ),
-            "id_a",
-        )
+        probe.alias("a")
         .join(
-            stats.select(
-                F.col("id").alias("id_b"),
-                F.col("_n").alias("_nb"),
-                F.col("_nr").alias("_nrb"),
+            ranked.select("id", "_d", "_rk", "_nr").alias("b"),
+            (F.col("a._d") == F.col("b._d"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (
+                F.col("a._sa")
+                + F.least(
+                    F.col("a._nr") - F.col("a._rk"),
+                    F.col("b._nr") - F.col("b._rk"),
+                )
+                >= F.greatest(F.col("a._cr"), F.lit(1))
             ),
-            "id_b",
         )
-        .filter(F.round(ub, 4) >= threshold)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.max(F.col("a._sa")).alias("_sa"),
+        )
+        .filter(F.col("_m") >= F.col("_sa"))
         .select("id_a", "id_b")
     )
     verified = (

@@ -1014,3 +1014,36 @@ def test_score_percentile_threshold_equalizes_sources(spark):
         .collect()
     )
     assert {r["source"]: r["count"] for r in kept} == {"lo": 20, "hi": 20}
+
+
+def test_containment_common_gram_pairs_still_found_via_one_rare_match(spark):
+    """c_r <= 0 path of the prefix filter: when a pair can reach the
+    threshold mostly through capped-common grams, ONE shared rare gram
+    must still make it a candidate (the prefix degrades to the full
+    rare set), and verification still counts the common grams."""
+    filler = [(i, "p q r s t") for i in range(10, 14)]  # pqr/qrs/rst df=6
+    d = _docs(
+        spark,
+        filler + [(1, "p q r s t u v"), (2, "p q r s t u w")],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_near_dup(d, threshold=0.5, n=3, df_cap=3).collect()
+    }
+    # A/B share pqr,qrs,rst (common) + stu (rare) = 4 of 5 shingles
+    assert got[(1, 2)] == 0.8 and got[(2, 1)] == 0.8
+    # filler-only pairs share ONLY common grams -> never candidates
+    assert all(a in (1, 2) and b in (1, 2) for a, b in got)
+
+
+def test_containment_exact_threshold_boundary_pair_is_kept(spark):
+    """A pair at exactly the threshold (8 of 10 shingles shared,
+    t=0.8) must survive the s-match prefix pigeonhole."""
+    a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"   # 10 shingles
+    b = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 zz1 zz2"   # shares first 8
+    d = _docs(spark, [(1, a), (2, b)])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_near_dup(d, threshold=0.8, n=3).collect()
+    }
+    assert got[(1, 2)] == 0.8 and got[(2, 1)] == 0.8
