@@ -725,7 +725,7 @@ def q_repetition_metrics(spark, sf):
     ~36% of documents then contain duplicated lines."""
     from dandi_s3_log_parser_spark.operators.curation import repetition_metrics
 
-    return repetition_metrics(_chunk_2tok(_load(spark, sf, "documents")))
+    return repetition_metrics(_chunk_2tok(_load_spread(spark, sf, "documents")))
 
 
 def q_equidepth_histogram(spark, sf):
@@ -796,7 +796,7 @@ def q_encode_tokens(spark, sf):
     from dandi_s3_log_parser_spark.operators.curation import encode_tokens
     from dandi_s3_log_parser_spark.operators.dedup import word_tokens
 
-    docs = _load(spark, sf, "documents")
+    docs = _load_spread(spark, sf, "documents")
     top = (
         docs.select(F.explode(word_tokens(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -877,7 +877,7 @@ def q_ccnet_buckets(spark, sf):
     broadcast atop the bigram_logprob plan; no sort, no window."""
     from dandi_s3_log_parser_spark.operators.curation import ccnet_buckets
 
-    return ccnet_buckets(_load(spark, sf, "documents"), lam=0.75)
+    return ccnet_buckets(_load_spread(spark, sf, "documents"), lam=0.75)
 
 
 def q_bigram_logprob(spark, sf):
@@ -885,7 +885,7 @@ def q_bigram_logprob(spark, sf):
     1-lam is FP-exact in both engines)."""
     from dandi_s3_log_parser_spark.operators.curation import bigram_logprob
 
-    return bigram_logprob(_load(spark, sf, "documents"), lam=0.75)
+    return bigram_logprob(_load_spread(spark, sf, "documents"), lam=0.75)
 
 
 def q_quality_classifier(spark, sf):
@@ -900,7 +900,7 @@ def q_quality_classifier(spark, sf):
     )
 
     return linear_quality_score(
-        _load(spark, sf, "documents"),
+        _load_spread(spark, sf, "documents"),
         hash_weights(spark, 4096),
         n_buckets=4096,
     )
@@ -911,7 +911,7 @@ def q_pmi_collocations(spark, sf):
     from dandi_s3_log_parser_spark.operators.curation import pmi_collocations
 
     return pmi_collocations(
-        _load(spark, sf, "documents"), min_count=5, topk=50
+        _load_spread(spark, sf, "documents"), min_count=5, topk=50
     )
 
 
@@ -919,7 +919,7 @@ def q_char_entropy(spark, sf):
     """Per-document character-distribution Shannon entropy (bits)."""
     from dandi_s3_log_parser_spark.operators.curation import char_entropy
 
-    return char_entropy(_load(spark, sf, "documents")).orderBy("doc_id")
+    return char_entropy(_load_spread(spark, sf, "documents")).orderBy("doc_id")
 
 
 def q_burst_detect(spark, sf):
@@ -977,7 +977,7 @@ def q_boilerplate_strip(spark, sf):
     from dandi_s3_log_parser_spark.operators.curation import boilerplate_strip
 
     return boilerplate_strip(
-        _load(spark, sf, "documents"),
+        _load_spread(spark, sf, "documents"),
         block_words=25,
         min_stopword_ratio=0.08,
         min_words=5,
@@ -1086,7 +1086,7 @@ def q_vocab_topk(spark, sf):
     no global sort of the vocabulary."""
     from dandi_s3_log_parser_spark.operators.dedup import word_tokens
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     toks = d.select(
         "doc_id", F.explode(word_tokens(F.col("text"))).alias("token")
     )
@@ -1214,7 +1214,7 @@ def q_tfidf_top_terms(spark, sf):
     the df/N statistics are still computed over the FULL corpus."""
     from dandi_s3_log_parser_spark.operators.curation import tfidf_top_terms
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     return tfidf_top_terms(d, k=5).filter(F.col("doc_id") < 40)
 
 
@@ -1246,7 +1246,7 @@ def q_dsir_importance(spark, sf):
     unigram LMs over the union vocabulary; mean per-token log ratio."""
     from dandi_s3_log_parser_spark.operators.curation import dsir_importance
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     return dsir_importance(d, d.filter(F.col("doc_id") % 5 == 0)).orderBy(
         "doc_id"
     )
@@ -1371,7 +1371,7 @@ def q_chunk_fixed_windows(spark, sf):
     )
 
     return chunk_fixed_windows(
-        _load(spark, sf, "documents"), chunk_tokens=16, overlap=4
+        _load_spread(spark, sf, "documents"), chunk_tokens=16, overlap=4
     ).orderBy("doc_id", "chunk_id")
 
 
@@ -1505,12 +1505,16 @@ def q_select_budget(spark, sf):
         select_by_token_budget,
     )
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
+    # materialize the regex-heavy scoring behind its own exchange: the
+    # histogram pass, the fact join, both keep branches, and the final
+    # sort's range-sampling pass all consume ONE scored exchange
+    # (ReuseExchange) instead of re-running quality_score per consumer
     scored = d.select(
         "doc_id",
         F.round(quality_score(F.col("text")), 4).alias("score"),
         token_count(F.col("text")).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint()
     return select_by_token_budget(scored, 12000).orderBy(
         F.desc("score"), "doc_id"
     )
@@ -1651,7 +1655,7 @@ def q_pii_redact(spark, sf):
         pii_redact,
     )
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     planted = F.concat(
         F.col("text"),
         F.when(
@@ -1742,7 +1746,7 @@ def q_inverted_index(spark, sf):
     from dandi_s3_log_parser_spark.operators.curation import inverted_index
 
     return inverted_index(
-        _load(spark, sf, "documents"), max_postings=20
+        _load_spread(spark, sf, "documents"), max_postings=20
     ).orderBy("token")
 
 
@@ -1912,7 +1916,7 @@ def q_sessionize(spark, sf):
     from dandi_s3_log_parser_spark.operators.sessionize import session_stats
 
     return session_stats(
-        _load(spark, sf, "events"), key_col="user_id", ts_col="ts",
+        _load_spread(spark, sf, "events"), key_col="user_id", ts_col="ts",
         gap_minutes=720,
     )
 
@@ -2037,7 +2041,7 @@ def q_oov_rate(spark, sf):
     vocabulary (broadcast-derived dimension; see operator docstring)."""
     from dandi_s3_log_parser_spark.operators.curation import oov_rate
 
-    return oov_rate(_load(spark, sf, "documents"), vocab_k=100).orderBy(
+    return oov_rate(_load_spread(spark, sf, "documents"), vocab_k=100).orderBy(
         "doc_id"
     )
 
@@ -2048,7 +2052,7 @@ def q_unigram_logprob(spark, sf):
     operator docstring for the single-tokenize / narrow-shuffle plan)."""
     from dandi_s3_log_parser_spark.operators.curation import unigram_logprob
 
-    return unigram_logprob(_load(spark, sf, "documents")).orderBy("doc_id")
+    return unigram_logprob(_load_spread(spark, sf, "documents")).orderBy("doc_id")
 
 
 def q_asof_join(spark, sf):
