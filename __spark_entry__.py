@@ -358,7 +358,7 @@ def q_stopword_ratio(spark, sf):
 def q_lang_id(spark, sf):
     from dandi_s3_log_parser_spark.functions.text import lang_id
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     return (
         d.select(lang_id(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
@@ -411,7 +411,7 @@ def q_jaccard_prefix_pairs(spark, sf):
 def q_cosine_topk(spark, sf):
     from dandi_s3_log_parser_spark.operators.similarity import cosine_topk
 
-    emb = _load(spark, sf, "embeddings")
+    emb = _load_spread(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -435,7 +435,7 @@ def _embedding_near_dup_corpus(spark, sf):
     perturbation, cosine ~0.9995) — deterministic pure arithmetic that
     DuckDB replays exactly (float->double widening then IEEE double ops
     on both engines)."""
-    emb = _load(spark, sf, "embeddings")
+    emb = _load_spread(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", vd.alias("v"))
@@ -509,7 +509,7 @@ def q_minhash_lsh_dedup(spark, sf):
         ngram_jaccard_pairs,
     )
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     out = minhash_dedup(d, threshold=0.5)
     if _is_oracle_sf(sf):
         exact = ngram_jaccard_pairs(
@@ -553,7 +553,7 @@ def q_dedup_clusters(spark, sf):
         minhash_dedup,
     )
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     pairs = minhash_dedup(d, threshold=0.5).select("id_a", "id_b")
     return dedup_clusters(pairs)
 
@@ -1049,7 +1049,7 @@ def q_curation_funnel(spark, sf):
     from dandi_s3_log_parser_spark.functions.text import quality_score
     from dandi_s3_log_parser_spark.operators.curation import curation_funnel
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     rules = [
         ("too_short", F.col("n_chars") < 100),
         ("wrong_lang", F.col("lang") != "en"),
@@ -1112,7 +1112,7 @@ def q_source_divergence(spark, sf):
         source_divergence,
     )
 
-    return source_divergence(_load(spark, sf, "documents")).orderBy(
+    return source_divergence(_load_spread(spark, sf, "documents")).orderBy(
         "source"
     )
 
@@ -1125,7 +1125,7 @@ def q_vocab_growth(spark, sf):
     broadcast non-equi join against the 10-row threshold table."""
     from dandi_s3_log_parser_spark.operators.curation import vocab_growth
 
-    return vocab_growth(_load(spark, sf, "documents")).orderBy(
+    return vocab_growth(_load_spread(spark, sf, "documents")).orderBy(
         "checkpoint"
     )
 
@@ -1236,7 +1236,7 @@ def q_bm25_topk(spark, sf):
 
     q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
     return bm25_topk(
-        _load(spark, sf, "documents"), q, k=10
+        _load_spread(spark, sf, "documents"), q, k=10
     )
 
 
@@ -1403,7 +1403,7 @@ def q_winnow_fingerprints(spark, sf):
     # this query's CPU, so spread it (a real-scale scan parallelizes
     # itself)
     return winnow_fingerprints(
-        _load(spark, sf, "documents").repartition(
+        _load_spread(spark, sf, "documents").repartition(
             spark.sparkContext.defaultParallelism
         ),
         k=6,
@@ -1835,7 +1835,7 @@ def q_incremental_dedup(spark, sf):
         with_shingles,
     )
 
-    d = _load(spark, sf, "documents")
+    d = _load_spread(spark, sf, "documents")
     new = d.filter(F.col("doc_id") % 2 == 1)
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     out = incremental_minhash_dedup(new, corpus, threshold=0.5)

@@ -277,10 +277,29 @@ def _band_buckets(
     """(id, band, bucket) rows from an (id, sh) shingle table: minhash
     signature, then one xxhash64 bucket per contiguous signature band.
     Shared by the self-dedup and the incremental (cross-snapshot)
-    variants so both hash into the SAME bucket space."""
+    variants so both hash into the SAME bucket space.
+
+    The signature is computed by exploding the shingle array and
+    taking ``num_hashes`` codegen'd ``min(xxhash64(gram, seed))``
+    aggregates — the same ``h_i(s) = xxhash64(s, i)`` family and the
+    same per-doc minima as :func:`minhash_signature`, value-identical,
+    but whole-stage-codegen instead of a nested interpreted HOF (16
+    seeds x every gram per array element — measured ~7 s of the
+    minhash stage at sf1.0, vs ~1 s exploded).  The shingle input is
+    id-partitioned by the callers, so the groupBy(id) re-uses that
+    partitioning and adds NO exchange (guide §2.4)."""
     rows_per_band = num_hashes // bands
-    docs = shingled.select(
-        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    sig_arr = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
+    docs = (
+        shingled.select("id", F.explode("sh").alias("_g"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select("id", sig_arr.alias("sig"))
     )
     return docs.select(
         "id",
@@ -382,25 +401,31 @@ def minhash_dedup(
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard >= threshold.
 
-    The shingle set is computed ONCE behind a forced repartition: the
-    signature path and both verify sides then consume the same exchange
-    (Catalyst ReuseExchange — one shuffle write, three reads) instead of
-    re-running the tokenize/shingle subtree three times.  Cache-free, so
-    nothing leaks past the query.
+    The shingle set is materialized ONCE with ``localCheckpoint``: the
+    signature path and both verify sides read the checkpointed blocks
+    instead of re-running the tokenize/shingle subtree three times.
+    The checkpoint is also the optimizer barrier that keeps the
+    non-empty filter from being pushed into the parquet scan — without
+    it Catalyst substitutes the whole gram-building tree into a scan
+    DataFilter, recomputing it per branch on the scan's (few) input
+    tasks (observed in the sf1.0 plan: three scans, each carrying the
+    full shingle expression in its filter).  A forced repartition was
+    measured strictly worse: exchanging the array<string> gram column
+    costs 10-20x the same bytes as one string (per-element shuffle
+    serialization, guide §2.3) and still leaves the three-subtree
+    duplication in place.
 
-    At real corpus scale the in-query exchange itself becomes the
-    bottleneck (it lives in shuffle storage for the query's lifetime):
-    pass ``catalog`` + ``shingle_table`` to materialize the shingle set
-    as a committed table instead — written once, and all three
-    consumers read the committed files (which also survive for any
-    later dedup/fingerprint pass over the same corpus snapshot).
+    At real corpus scale pass ``catalog`` + ``shingle_table`` to
+    materialize the shingle set as a committed table instead — written
+    once, and all three consumers read the committed files (which also
+    survive for any later dedup/fingerprint pass over the same corpus
+    snapshot).
     """
-    n_part = _shuffle_partitions(df.sparkSession)
     sh = (
         with_shingles(df, text_col, shingle_n)
         .select(F.col(id_col).alias("id"), "sh")
+        .localCheckpoint()
         .filter(F.size("sh") > 0)
-        .repartition(n_part, "id")
     )
     if shingle_table is not None:
         if catalog is None:
@@ -474,22 +499,24 @@ def incremental_minhash_dedup(
     - Jaccard verification joins the candidate pairs (small side) back
       to the two shingle tables on their ids.
     """
-    # forced repartition = one exchange per side that BOTH consumers
-    # (banding and Jaccard verify) read via ReuseExchange, instead of
-    # re-running each side's tokenize/shingle subtree twice — the same
-    # single-materialization trick minhash_dedup documents
-    n_part = _shuffle_partitions(new_docs.sparkSession)
+    # one localCheckpoint per side: BOTH consumers (banding and the
+    # Jaccard verify) read the materialized blocks instead of
+    # re-running the tokenize/shingle subtree, and the checkpoint is
+    # the optimizer barrier that keeps the size filter out of the scan
+    # — the same single-materialization rationale minhash_dedup
+    # documents (a forced repartition instead shuffles the gram
+    # array<string> column at 10-20x the cost of its bytes)
     sh_new = (
         with_shingles(new_docs, text_col, shingle_n)
         .select(F.col(id_col).alias("id"), "sh")
+        .localCheckpoint()
         .filter(F.size("sh") > 0)
-        .repartition(n_part, "id")
     )
     sh_old = (
         with_shingles(corpus, text_col, shingle_n)
         .select(F.col(id_col).alias("id"), "sh")
+        .localCheckpoint()
         .filter(F.size("sh") > 0)
-        .repartition(n_part, "id")
     )
     b_new = _band_buckets(sh_new, num_hashes, bands)
     from pyspark.sql import Window
