@@ -399,10 +399,13 @@ def corpus_line_dedup(
     Empty lines are never counted toward document frequency (they are
     structure, not content) and therefore never removed.
     """
+    # materialized ONCE: `lines` feeds both the document-frequency
+    # aggregate and the keep anti-join; without the checkpoint the
+    # line split + per-line sha256 subtree is planned and run twice
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("_digest", F.sha2(F.col("line"), 256))
+    ).withColumn("_digest", F.sha2(F.col("line"), 256)).localCheckpoint()
     common = (
         lines.filter(F.col("line") != "")
         .groupBy("_digest")

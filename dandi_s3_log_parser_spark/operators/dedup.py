@@ -1191,26 +1191,64 @@ def winnow_fingerprints(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    n_grams = F.length("_norm") - k + 1
-    gram_hash = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.substr(F.col("_norm"), i, F.lit(k))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    hashes = F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
-    # slice() truncates at the array end, so the tail windows (and the
-    # whole-text window of a short doc) take the min of what exists
-    mins = F.transform(
-        F.sequence(
-            F.lit(1),
-            F.greatest(F.size("_hashes") - window + 1, F.lit(1)),
-        ),
-        lambda j: F.array_min(F.slice(F.col("_hashes"), j, window)),
-    )
+
+    # The gram-hash + window-min kernel runs as an Arrow-batched
+    # pandas UDF: hashlib.md5 is C speed and the rolling minima are
+    # one vectorized numpy sliding-window reduction, vs ~300
+    # interpreted md5/conv expression evaluations plus a fresh
+    # slice+array_min allocation PER GRAM in the HOF form (guide §4.2
+    # — measured ~74 executor-CPU-seconds at sf1.0 dropping to ~4).
+    # Value-identical by construction: Python str slicing is
+    # character-based like substr, md5 runs over the same UTF-8
+    # bytes, and int(hex[:15], 16) == conv(substring(md5,1,15),16,10)
+    # (60 bits, in-range for long) — integers, no float concerns.
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow_fps(norms: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        def fps(s):
+            n = len(s) - k + 1
+            b = s.encode("utf-8") if s.isascii() else None
+            if b is not None:
+                hashes = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(b[i : i + k]).hexdigest()[:15], 16
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+            else:
+                hashes = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(
+                                s[i : i + k].encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+            if n <= window:
+                mins = hashes.min(keepdims=True)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    hashes, window
+                ).min(axis=1)
+            return np.unique(mins)
+
+        return norms.map(fps)
+
     return (
         docs.select(F.col(id_col), norm.alias("_norm"))
-        .filter(n_grams >= 1)
-        .select(id_col, hashes.alias("_hashes"))
-        .select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
+        .filter(F.length("_norm") - k + 1 >= 1)
+        .select(id_col, F.explode(_winnow_fps(F.col("_norm"))).alias("fp"))
         .distinct()
     )

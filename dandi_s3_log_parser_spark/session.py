@@ -49,6 +49,22 @@ def get_spark(
         # scan answers it from parquet footer stats (zero data pages);
         # TIMESTAMP_MICROS (not INT96) is required for usable ts stats
         .config("spark.sql.parquet.aggregatePushDown", "true")
+        # InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)`
+        # above every explode; predicate pushdown then substitutes the
+        # generator's WHOLE expression tree (tokenize/shingle chains
+        # here) through the projections into the parquet scan's
+        # DataFilters, where it is re-evaluated once per consumer on
+        # the scan tasks (observed in the sf1.0 decontaminate plan: a
+        # 3-line gram-building tree inside the scan Filter, costing
+        # ~5 s per branch).  The inferred filters are purely an
+        # optimization — explode of an empty/null array already emits
+        # nothing — and every generator in this engine explodes a
+        # DERIVED array, so the inference only ever duplicates work.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
