@@ -2331,17 +2331,24 @@ def cross_source_overlap(
     )
     ga, gb = F.col("grams_a"), F.col("grams_b")
     c = F.col("common").cast("double")
+    # each sizes copy is aliased to fresh column names and joined on
+    # plain string equality: the previous dataset-column self-join
+    # (sizes._src after withColumnRenamed, twice) leaned on plan-id
+    # disambiguation, which has historically tripped
+    # AMBIGUOUS_SELF_JOIN across Spark versions (round-5 ADVICE)
+    sizes_a = sizes.select(
+        F.col("_src").alias("_src_a"), F.col("_n_grams").alias("grams_a")
+    )
+    sizes_b = sizes.select(
+        F.col("_src").alias("_src_b"), F.col("_n_grams").alias("grams_b")
+    )
     return (
         common.join(
-            F.broadcast(sizes.withColumnRenamed("_n_grams", "grams_a")),
-            common.source_a == sizes._src,
+            F.broadcast(sizes_a), F.col("source_a") == F.col("_src_a")
         )
-        .drop("_src")
-        .join(
-            F.broadcast(sizes.withColumnRenamed("_n_grams", "grams_b")),
-            common.source_b == sizes._src,
-        )
-        .drop("_src")
+        .drop("_src_a")
+        .join(F.broadcast(sizes_b), F.col("source_b") == F.col("_src_b"))
+        .drop("_src_b")
         .select(
             "source_a",
             "source_b",
@@ -2380,6 +2387,15 @@ def group_split(
     engines, partitionings, and cluster sizes; a held-out group stays
     held out forever, including across crawl snapshots that add new
     documents to it.  Pure projection: NO shuffle, no join, no state.
+
+    NULL-group documents land in 'test': ``md5(NULL)`` is NULL, both
+    ``when`` predicates evaluate NULL, and the ``otherwise`` branch
+    fires — so a slice with missing group concentrates in the test
+    split (documented, round-5 ADVICE; coalesce the group to a
+    sentinel upstream if that is not what you want).  Unlike
+    :func:`hash_split` (a ``withColumn`` that keeps every input
+    column), this returns only ``(id_col, group_col, split)`` — join
+    it back on ``id_col`` to recover full rows.
     """
     bucket = (
         F.conv(F.substring(F.md5(F.col(group_col).cast("string")), 1, 4), 16, 10)
@@ -2494,8 +2510,13 @@ def score_percentile_by_source(
         F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_below"),
         (F.sum("_c").over(Window.partitionBy(source_col)) - 1).alias("_nm1"),
     )
+    # no forced broadcast: for integer/rounded scores the histogram is
+    # dimension-sized and the optimizer broadcasts it on its own, but a
+    # continuous double score makes it corpus-sized and a F.broadcast
+    # hint would bypass autoBroadcastJoinThreshold and OOM the driver
+    # instead of degrading to a shuffle join (round-5 ADVICE)
     return (
-        base.join(F.broadcast(cum), [source_col, "score"])
+        base.join(cum, [source_col, "score"])
         .select(
             id_col,
             source_col,

@@ -816,6 +816,12 @@ def repeated_ngram_spans(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     toks = word_tokens(F.col(text_col))
     nwin = F.size(F.col("_toks")) - F.lit(k) + 1
+    # `wins` has two consumers (repeated-gram aggregate + join back)
+    # and deliberately does NOT checkpoint: both a full checkpoint of
+    # the exploded rows and a compact per-doc-array checkpoint were
+    # measured SLOWER than letting the two branches recompute the
+    # window hashing in parallel (the eager materialization job costs
+    # more than the overlapped second evaluation at this row width)
     wins = (
         docs.select(F.col(id_col), toks.alias("_toks"))
         .filter(F.size("_toks") >= k)

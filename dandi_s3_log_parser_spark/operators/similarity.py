@@ -710,7 +710,36 @@ def semdedup_pairs(
         ),
         id_col,
     )
-    a, b = j.alias("a"), j.alias("b")
+    # SALT the cluster-keyed self-join (guide §2.5): the join key has
+    # only k distinct values and its INPUT is tiny, so AQE coalesces
+    # the exchange to a handful of tasks while the OUTPUT explodes to
+    # sum(cell^2)/2 pair-cosines — measured 5 tasks carrying ~42
+    # executor-CPU-seconds at sf1.0.  The probe side gets a
+    # deterministic id-hash salt, the build side is replicated
+    # s_buckets ways (vectors are replicated — the documented salting
+    # trade), and both sides are EXPLICITLY repartitioned on
+    # (cluster, salt): user-specified exchanges are exempt from AQE
+    # coalescing, so the pair work spreads over the full executor
+    # pool.  Each unordered pair still matches exactly once (the one
+    # build replica whose salt equals the probe row's).
+    spark = emb.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    s_buckets = max(1, (4 * n_part + k - 1) // k)
+    a = (
+        j.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s_buckets))
+        )
+        .repartition(n_part, "cluster", "_salt")
+        .alias("a")
+    )
+    b = (
+        j.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(s_buckets - 1))),
+        )
+        .repartition(n_part, "cluster", "_salt")
+        .alias("b")
+    )
     cos = F.round(
         dot_fast(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
         / (F.col("a._nrm") * F.col("b._nrm")),
@@ -720,6 +749,7 @@ def semdedup_pairs(
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
