@@ -187,7 +187,11 @@ def test_corpus_line_dedup_df_exchange_carries_digest_not_line(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]:
         assert not re.search(r"hashpartitioning\(line", exch)
-    assert "sha2" in plan
+    # the digest is now computed once into a localCheckpoint (the sha2
+    # lives in the materialization job, not this plan); the checkpointed
+    # `_digest` column standing in every downstream scan is the evidence
+    # the shuffles carry the digest
+    assert "sha2" in plan or "_digest" in plan
 
 
 # ---------------------------------------------------------------------------
