@@ -987,7 +987,10 @@ def test_score_percentile_no_corpus_window(spark):
     )
     out = score_percentile_by_source(df, score_col="n_chars")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # the histogram join is no longer FORCED broadcast (round-5 advice:
+    # a corpus-sized histogram for continuous scores would OOM instead
+    # of degrading); the invariant that survives is that no Window node
+    # runs over per-document rows
     for line in plan.splitlines():
         if "Window" in line:
             assert "doc_id#" not in line
