@@ -33,40 +33,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def _d(x: float) -> str:
-    """SQL double literal: ``repr`` round-trips the exact double and
-    Spark's parser is correctly rounded, so the parsed value is
-    bit-identical to ``F.lit(x)``."""
-    return repr(float(x)) + "D"
-
-
-def _arr_sql(vals) -> str:
-    return "array(" + ",".join(_d(x) for x in vals) + ")"
-
-
-def _bt(name: str) -> str:
-    return f"`{name}`"
-
-
-def _dot_sql(a: str, b: str) -> str:
-    """``dot`` as a SQL string — the SAME aggregate/zip_with fold (same
-    lambda, same cast-before-multiply, same left-to-right order), so
-    the result is bit-identical to the Column form.
-
-    Why strings: centroid-table expressions carry k*dim literals, and
-    building them with py4j Column calls costs one driver round trip
-    per node — measured 2-7 s of pure plan-BUILD time per Lloyd
-    iteration at k=8, dim=64, vs ~0.3 s when the whole expression
-    ships as one ``F.expr`` string parsed JVM-side.  Executor cost is
-    identical (same expression tree after parsing).
-    """
-    return (
-        f"aggregate(zip_with({a},{b},"
-        "(x,y)->cast(x as double)*cast(y as double)),"
-        "cast(0.0 as double),(acc,v)->acc+v)"
-    )
-
-
 def _probe_dim(emb: DataFrame, vec_col: str) -> int | None:
     """Vector length from one row (None on empty input) — a 1-row
     driver lookup used to pick the unrolled codegen kernels; the
@@ -82,37 +48,114 @@ def norm(a: Column) -> Column:
     )
 
 
-def dot_fast(a: Column, b: Column, dim: int | None) -> Column:
-    """``dot`` with a known-``dim`` unrolled codegen path: the add
-    chain starts at the same 0.0 and runs the same left-to-right
-    sequence as the ``aggregate`` fold, so the double result is
-    bit-identical in every case (±0.0, NaN, NULL propagation) while
-    compiling to whole-stage codegen instead of an interpreted
-    per-element HOF loop (guide §4: HOFs are CodegenFallback).  Worth
-    it ONLY on pair-scale inputs (millions of evaluations amortize
-    the larger codegen compile); per-row stages measured FASTER with
-    the plain fold.  Size-guarded, falling back to the fold whenever
-    ``dim`` is unknown or a row's shape differs."""
-    if not dim:
-        return dot(a, b)
-    s = F.lit(0.0)
-    for i in range(dim):
-        s = s + F.element_at(a, i + 1).cast("double") * F.element_at(
-            b, i + 1
-        ).cast("double")
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), s).otherwise(
-        dot(a, b)
-    )
+def _centroid_dist_arrow(cents: dict[int, list[float]]):
+    """Arrow-vectorized squared-L2 distance array to ``k`` literal
+    centroids, value-identical to the unrolled SQL form
+    ``_vv - 2.0D*dot(v, c_i) + cc_i`` (UNROUNDED — the caller rounds in
+    the JVM with the same ``round`` expression as before, so boundary
+    and tie behavior is untouched).
+
+    Why not the literal-array SQL fold: with k*dim literal terms the
+    generated wrapper code is a C2-compiler tarpit — HotSpot sometimes
+    stalls for minutes compiling it (or never compiles it), leaving the
+    whole stage in bytecode interpretation; measured 17 vs 1033
+    executor-CPU-seconds between IDENTICAL trials at k=32, dim=64.  The
+    numpy kernel runs each fold column-by-column (``s += X[:, i] *
+    c[i]``), i.e. the exact left-to-right float64 operation order of
+    the ``aggregate``/``zip_with`` fold, so every distance is
+    bit-identical; ``cc_i`` is the same driver-side Python sum as
+    before.  Null or wrong-length vectors yield a NULL array (the SQL
+    form yields an array of NULL distances; both argmin to NULL
+    cluster/dist downstream).
+    """
+    order = sorted(cents)
+    C = np.array([cents[i] for i in order], dtype=np.float64)
+    ccs = [sum(x * x for x in cents[i]) for i in order]
+    k, d = C.shape
+
+    @F.pandas_udf("array<double>")
+    def _dists(v: pd.Series) -> pd.Series:
+        A = v.to_numpy(dtype=object)
+        n = len(A)
+        ok = np.fromiter(
+            (x is not None and len(x) == d for x in A), bool, count=n
+        )
+        out: list = [None] * n
+        if ok.any():
+            X = np.vstack(A[ok]).astype(np.float64)
+            m = len(X)
+            vv = np.zeros(m, dtype=np.float64)
+            for i in range(d):
+                vv += X[:, i] * X[:, i]
+            D = np.empty((m, k), dtype=np.float64)
+            for ci in range(k):
+                c = C[ci]
+                s = np.zeros(m, dtype=np.float64)
+                for i in range(d):
+                    s += X[:, i] * c[i]
+                D[:, ci] = (vv - 2.0 * s) + ccs[ci]
+            for r, row in zip(np.nonzero(ok)[0], D):
+                out[r] = row
+        return pd.Series(out)
+
+    return _dists
 
 
-def norm_fast(a: Column, dim: int | None) -> Column:
-    if not dim:
-        return norm(a)
-    s = F.lit(0.0)
-    for i in range(dim):
-        e = F.element_at(a, i + 1)
-        s = s + e.cast("double") * e
-    return F.when(F.size(a) == dim, F.sqrt(s)).otherwise(norm(a))
+def _pair_dot_arrow(dim: int):
+    """Arrow-vectorized pair dot product, value-identical to ``dot``.
+
+    The unrolled codegen chain (64 nested Adds) that previously ran the
+    pair stage hit a JIT pathology: the generated method is large enough
+    that HotSpot sometimes never compiles it, leaving whole trials in
+    bytecode interpretation — measured 46 vs 1670 executor-CPU-seconds
+    for IDENTICAL work on consecutive trials at 10x scale.  A numpy
+    kernel has no compile state at all (guide §4.2): elements are cast
+    to float64 BEFORE multiplying and accumulated strictly left-to-right
+    (``s += a[:, i] * b[:, i]`` column by column), i.e. the exact
+    operation order of the ``aggregate``/``zip_with`` fold, so the
+    IEEE-754 result is bit-identical.  Null/ragged rows reproduce the
+    fold's semantics: any null side or length mismatch yields NULL
+    (``zip_with`` pads with null, nulling the fold), equal non-``dim``
+    lengths run the same left fold over that length.
+    """
+
+    @F.pandas_udf("double")
+    def _dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        n = len(va)
+        A = va.to_numpy(dtype=object)
+        B = vb.to_numpy(dtype=object)
+        la = np.fromiter(
+            (len(x) if x is not None else -1 for x in A), np.int64, count=n
+        )
+        lb = np.fromiter(
+            (len(x) if x is not None else -1 for x in B), np.int64, count=n
+        )
+        fast = (la == dim) & (lb == dim)
+        out = np.zeros(n, dtype=np.float64)
+        if fast.any():
+            Ma = np.vstack(A[fast]).astype(np.float64)
+            Mb = np.vstack(B[fast]).astype(np.float64)
+            s = np.zeros(int(fast.sum()), dtype=np.float64)
+            for i in range(dim):
+                s += Ma[:, i] * Mb[:, i]
+            out[fast] = s
+        null = (la < 0) | (lb < 0) | (la != lb)
+        for j in np.nonzero(~fast & ~null)[0]:
+            s = 0.0
+            for x, y in zip(A[j], B[j]):
+                s += float(x) * float(y)
+            out[j] = s
+        res = pd.Series(out)
+        if null.any():
+            res = res.astype("Float64")
+            res[null] = pd.NA
+        return res
+
+    # nondeterministic marking stops the optimizer from copying the
+    # kernel below the cos>=threshold filter (guide §4.4: the pushed
+    # filter otherwise duplicates the ArrowEvalPython node and every
+    # pair pays the Python boundary twice)
+    return _dot.asNondeterministic()
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -576,27 +619,19 @@ def assign_to_centroids(
     arrays, plan size is the fixed cost every action (and the JIT)
     pays.
     """
-    base = emb.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        F.expr(_dot_sql(_bt(vec_col), _bt(vec_col))).alias("_vv"),
-    )
-    dists = [
-        f"round(_vv - 2.0D*{_dot_sql('_v', _arr_sql(cents[i]))}"
-        f" + {_d(sum(x * x for x in cents[i]))},{ndp})"
-        for i in sorted(cents)
-    ]
-    # the k-distance array is materialized in its OWN projection: the
-    # argmin needs it twice (array_position + array_min), and letting
-    # CollapseProject inline the k distance expressions into both
-    # references doubles an already-large tree — Catalyst leaves a
-    # non-cheap expression referenced more than once in its own
-    # Project, which keeps plan size linear in k*dim.  The array ships
-    # as ONE F.expr string (see _dot_sql on why)
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    # raw distances from the Arrow kernel (exact fold arithmetic, no
+    # k*dim literal expression tree — see _centroid_dist_arrow), then
+    # the SAME round() applied per element in the JVM.  The rounded
+    # array is materialized in its OWN projection: the argmin needs it
+    # twice (array_position + array_min)
     darr = base.select(
         F.col(id_col),
         F.col("_v"),
-        F.expr("array(" + ",".join(dists) + ")").alias("_darr"),
+        F.transform(
+            _centroid_dist_arrow(cents)(F.col("_v")),
+            lambda x: F.round(x, ndp),
+        ).alias("_darr"),
     )
     return darr.select(
         F.col(id_col),
@@ -703,11 +738,15 @@ def semdedup_pairs(
     # the unrolled known-dim codegen kernel (bit-identical to the
     # fold, guide §4) — the per-pair HOF fold was this operator's
     # actual bottleneck, not the pair count.
+    # per-row norm via the plain interpreted fold: 64 steps x corpus
+    # rows is trivial, and the unrolled 64-term codegen chain this used
+    # to be is a C2-compiler tarpit — HotSpot compile threads stall for
+    # tens of seconds on the generated method, starving every OTHER
+    # stage's codegen so whole trials run interpreted (measured 25x
+    # executor-CPU swings between identical trials)
     dim = _probe_dim(emb, vec_col)
     j = asg.join(
-        emb.select(
-            id_col, vec_col, norm_fast(F.col(vec_col), dim).alias("_nrm")
-        ),
+        emb.select(id_col, vec_col, norm(F.col(vec_col)).alias("_nrm")),
         id_col,
     )
     # SALT the cluster-keyed self-join (guide §2.5): the join key has
@@ -740,11 +779,15 @@ def semdedup_pairs(
         .repartition(n_part, "cluster", "_salt")
         .alias("b")
     )
-    cos = F.round(
-        dot_fast(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
-        / (F.col("a._nrm") * F.col("b._nrm")),
-        ndp,
+    # per-pair dot in an Arrow numpy kernel (value-identical fold, no
+    # codegen/JIT state — see _pair_dot_arrow); division and rounding
+    # stay in the JVM so boundary behavior is exactly F.round's
+    pair_dot = (
+        _pair_dot_arrow(dim)(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        if dim
+        else dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     )
+    cos = F.round(pair_dot / (F.col("a._nrm") * F.col("b._nrm")), ndp)
     return (
         a.join(
             b,
@@ -815,18 +858,13 @@ def _pq_staged(emb, m: int, dsub: int, id_col: str, vec_col: str):
     """(id, _s0.._s{m-1}, _vv0.._vv{m-1}): the sliced subspaces plus
     their self-dot norms, computed ONCE per row — the shared input of
     both PQ training and code assignment."""
-    staged = emb.select(
+    # (the per-subspace _vv self-dots previously staged here moved into
+    # the Arrow distance kernel, which computes them with the same fold
+    # order — see _centroid_dist_arrow)
+    return emb.select(
         F.col(id_col),
         *[
             F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(f"_s{j}")
-            for j in range(m)
-        ],
-    )
-    return staged.select(
-        id_col,
-        *[F.col(f"_s{j}") for j in range(m)],
-        *[
-            F.expr(_dot_sql(f"_s{j}", f"_s{j}")).alias(f"_vv{j}")
             for j in range(m)
         ],
     )
@@ -840,18 +878,13 @@ def _pq_dist_arrays(books, m: int, ndp: int):
     projection so the argmin's double reference (array_position +
     array_min) never duplicates the k unrolled distance trees — see
     the CollapseProject note in ``assign_to_centroids``."""
-    arrs = []
-    for j in range(m):
-        cents = books[j]
-        dists = [
-            f"round(_vv{j} - 2.0D*{_dot_sql(f'_s{j}', _arr_sql(cents[i]))}"
-            f" + {_d(sum(x * x for x in cents[i]))},{ndp})"
-            for i in sorted(cents)
-        ]
-        arrs.append(
-            F.expr("array(" + ",".join(dists) + ")").alias(f"_darr{j}")
-        )
-    return arrs
+    return [
+        F.transform(
+            _centroid_dist_arrow(books[j])(F.col(f"_s{j}")),
+            lambda x: F.round(x, ndp),
+        ).alias(f"_darr{j}")
+        for j in range(m)
+    ]
 
 
 def _pq_code_col(j: int):
