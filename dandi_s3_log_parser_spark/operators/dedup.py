@@ -997,10 +997,16 @@ def containment_near_dup(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"need 0 < threshold <= 1; got {threshold}")
     s_matches = 2
+    # materialize the shingle table ONCE: it feeds posting generation
+    # AND both verify sides, and without the barrier the tokenize/
+    # shingle expression tree is re-evaluated per consumer (4 copies in
+    # the sf1.0 plan, each ~10-15 executor-CPU-seconds) — same pattern
+    # as minhash_dedup's checkpointed shingle table
     sh = (
         with_shingles(df, text_col, n)
         .select(F.col(id_col).alias("id"), "sh")
         .filter(F.size("sh") > 0)
+        .localCheckpoint()
     )
     # postings carry |sh| from the explode (no per-doc stats re-join)
     posts = sh.select(
@@ -1015,13 +1021,17 @@ def containment_near_dup(
     # per-doc canonical ranking of rare digests: global (df, digest)
     # order restricted to the doc — one narrow id-keyed exchange
     w_id = Window.partitionBy("id")
+    # ranked is ALSO materialized: the candidate self-join consumes it
+    # twice (probe prefix + build side), and the df-aggregate + double
+    # window above it would otherwise run once per side.  Narrow rows
+    # (five numeric columns), posting-table-sized.
     ranked = rare.select(
         "id",
         "_n",
         "_d",
         F.row_number().over(w_id.orderBy("_df", "_d")).alias("_rk"),
         F.count(F.lit(1)).over(w_id).alias("_nr"),
-    )
+    ).localCheckpoint()
     # c: intersection grams needed for round(|A∩B|/|A|,4) >= t (1e-4
     # slack below the true boundary — recall-safe); c_r: how many of
     # them must be rare; s_a: matches demanded among the prefix

@@ -82,7 +82,11 @@ def bm25_topk(
         F.explode(word_tokens(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl re-aggregates the (already map-side-combined) tf table instead
+    # of re-exploding the corpus: sum(tf) per doc == token count, and
+    # the corpus is tokenized exactly once (one full pass saved at any
+    # scale)
+    dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
 
     # one-row corpus stats: N over ALL docs; avgdl = total tokens / N
     # (token-less docs count as length 0 — the explicit ratio, not an
@@ -127,8 +131,12 @@ def bm25_topk(
     )
 
     contrib = (
-        tf.join(dl, "_id")
-        .join(F.broadcast(q_scored_terms), "term")
+        # broadcast-prune tf to query-term postings BEFORE the
+        # corpus-keyed dl join: the broadcast join costs no shuffle, so
+        # only the (tiny) surviving postings meet dl's exchange instead
+        # of the whole corpus-sized tf table reshuffling on _id
+        tf.join(F.broadcast(q_scored_terms), "term")
+        .join(dl, "_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",

@@ -67,8 +67,21 @@ def get_spark(
         )
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
-        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        # ReservedCodeCacheSize: every query plan generates fresh
+        # wholestage-codegen classes; a long session (the 70-query
+        # bench runs ~200 plans) fills HotSpot's default 240 MB code
+        # cache, after which the JIT stops compiling and stages run in
+        # bytecode interpretation (measured as 10-25x executor-CPU
+        # inflation on late-session queries).  1 GiB of reserved
+        # (virtual) code cache removes the cliff at any scale.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.timezone=UTC -XX:ReservedCodeCacheSize=1g",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Duser.timezone=UTC -XX:ReservedCodeCacheSize=1g",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
