@@ -384,25 +384,38 @@ def run_map_stage(
         mapped = mapped_per_asset(
             activity, skew_bucket=cfg.mapped_skew_bucket
         ).observe(obs, F.count(F.lit(1)).alias("n"))
-        catalog.write(
-            mapped, "mapped_per_asset", partition_by=("dandiset_id", "version_id")
-        )
 
-        # the six summary sinks are independent small aggregations over
-        # the persisted enriched fact — submit them as CONCURRENT jobs
-        # (Spark's scheduler interleaves their stages across the
-        # executor pool; serially each write pays its own full
-        # schedule/commit latency, the serial floor that caps N->4N
-        # scaling efficiency)
+        # THREE independent heavy actions run as CONCURRENT jobs (guide
+        # §2.6): the mapped-per-asset write and the two grouping-sets
+        # summary aggregations (each eagerly localCheckpoints inside
+        # _grouped_summaries).  All read the persisted enriched fact —
+        # block-level cache locking means whichever job touches a
+        # partition first computes it and the others wait, so the
+        # persist is still computed once.  Serially each action pays
+        # its own full schedule/commit latency, the serial floor that
+        # caps N->4N scaling efficiency.
         from concurrent.futures import ThreadPoolExecutor
 
-        sinks = [
-            (f"version_summary_{name}", df)
-            for name, df in version_summaries(activity).items()
-        ] + [
-            (f"dandiset_summary_{name}", df)
-            for name, df in dandiset_summaries(enriched, assets).items()
-        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_mapped = pool.submit(
+                catalog.write,
+                mapped,
+                "mapped_per_asset",
+                partition_by=("dandiset_id", "version_id"),
+            )
+            f_ver = pool.submit(version_summaries, activity)
+            f_dand = pool.submit(dandiset_summaries, enriched, assets)
+            f_mapped.result()
+            sinks = [
+                (f"version_summary_{name}", df)
+                for name, df in f_ver.result().items()
+            ] + [
+                (f"dandiset_summary_{name}", df)
+                for name, df in f_dand.result().items()
+            ]
+
+        # the six summary sinks write pre-aggregated checkpointed rows
+        # (metadata-cheap) — still submitted concurrently
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
             futures = [pool.submit(catalog.write, df, name) for name, df in sinks]
             for f in futures:
