@@ -446,9 +446,21 @@ def generate_pages_spark(
                 yield rows.iloc[sel]
 
     # chunk <= Arrow batch size (10k default), so a chunk is rebuilt at
-    # most twice when split across batch boundaries; one task per ~8
-    # chunks keeps task count proportional to cores at bench scale
-    n_part = max(1, n_pages // (chunk * 8))
+    # most twice when split across batch boundaries.  Partition count:
+    # at least the cluster's parallelism (never fewer generation tasks
+    # — and downstream single-row-group FILES — than cores), at most
+    # one task per chunk; the data itself is chunk-seeded and identical
+    # under any partitioning.
+    n_part = max(
+        1,
+        min(
+            n_pages // chunk,
+            max(
+                spark.sparkContext.defaultParallelism,
+                n_pages // (chunk * 8),
+            ),
+        ),
+    )
     rng_df = spark.range(0, n_pages, 1, n_part)
     return rng_df.mapInPandas(build, schema=PAGES_SCHEMA)
 
