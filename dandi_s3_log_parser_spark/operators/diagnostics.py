@@ -62,8 +62,15 @@ def join_size_estimate(
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("_cb"))
     )
-    contrib = ca.join(cb, "key").select(
-        "key", (F.col("_ca") * F.col("_cb")).alias("contrib")
+    # materialized ONCE: `total` (scalar aggregate) and `top`
+    # (TakeOrdered) both consume contrib, and without the barrier the
+    # two key-keyed corpus aggregates and their join are evaluated once
+    # per consumer — the whole heavy path twice.  The checkpointed rows
+    # are distinct-join-key-sized (key, long), the narrow count table.
+    contrib = (
+        ca.join(cb, "key")
+        .select("key", (F.col("_ca") * F.col("_cb")).alias("contrib"))
+        .localCheckpoint()
     )
     total = contrib.agg(F.sum("contrib").alias("_total"))
     top = (
