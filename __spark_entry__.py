@@ -468,15 +468,19 @@ def q_embedding_lsh_near_dup(spark, sf):
         id_col="vec_id", vec_col="v",
     )
     if _is_oracle_sf(sf):
+        # one brute-force evaluation: the anti-join count is the check;
+        # n_exact (error-message context only) is computed on the
+        # failure path, not up front (the count + anti-join pair used
+        # to run the all-pairs subtree twice)
         exact = embedding_near_dup_pairs(
             corpus, threshold=0.99, id_col="vec_id", vec_col="v",
             max_rows=1_000_000,
         ).select("id_a", "id_b")
-        n_exact = exact.count()
         missing = exact.join(
             out.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
         ).count()
         if missing:
+            n_exact = exact.count()
             raise ValueError(
                 f"embedding_lsh_near_dup: LSH missed {missing}/{n_exact} "
                 f"exact pairs (recall {(n_exact - missing) / n_exact:.4f}) "

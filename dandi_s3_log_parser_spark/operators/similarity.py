@@ -532,17 +532,37 @@ def embedding_near_dup_pairs(
     max_rows: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (guarded all-pairs baseline)."""
+    # norms once PER ROW (same fold on the same vector — the divided
+    # double is bit-identical to the inline cosine), pair dots through
+    # the Arrow kernel: the all-pairs stage is exactly the
+    # millions-of-interpreted-fold-steps shape the kernel exists for
+    dim = _probe_dim(embeddings, vec_col)
     docs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("_n"),
     ).limit(max_rows)
-    a = docs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = docs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    a = docs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("_n").alias("_na"),
+    )
+    b = docs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("_n").alias("_nb"),
+    )
+    pair_dot = (
+        _pair_dot_arrow(dim)(F.col("v_a"), F.col("v_b"))
+        if dim
+        else dot(F.col("v_a"), F.col("v_b"))
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
+            F.round(
+                pair_dot / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
