@@ -519,11 +519,14 @@ def q_minhash_lsh_dedup(spark, sf):
         exact = ngram_jaccard_pairs(
             d, threshold=0.5, max_rows=1_000_000
         ).select("id_a", "id_b")
-        n_exact = exact.count()
+        # anti-join count is the check; n_exact (message context) only
+        # on the failure path — the eager count ran the all-pairs
+        # subtree a second time
         missing = exact.join(
             out.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
         ).count()
         if missing:
+            n_exact = exact.count()
             raise ValueError(
                 f"minhash_lsh_dedup: LSH missed {missing}/{n_exact} exact "
                 f"pairs (recall {(n_exact - missing) / n_exact:.3f}) on the "
