@@ -66,7 +66,11 @@ def _centroid_dist_arrow(cents: dict[int, list[float]]):
     bit-identical; ``cc_i`` is the same driver-side Python sum as
     before.  Null or wrong-length vectors yield a NULL array (the SQL
     form yields an array of NULL distances; both argmin to NULL
-    cluster/dist downstream).
+    cluster/dist downstream).  One documented divergence: a NaN
+    *element* inside an input vector surfaces as NULL distances rather
+    than the fold's NaN — pandas->Arrow list conversion cannot carry
+    NaN as a value — and no corpus/fixture contains NaN embeddings
+    (both forms yield no usable cluster for such a row either way).
     """
     order = sorted(cents)
     C = np.array([cents[i] for i in order], dtype=np.float64)
@@ -145,11 +149,13 @@ def _pair_dot_arrow(dim: int):
             for x, y in zip(A[j], B[j]):
                 s += float(x) * float(y)
             out[j] = s
-        res = pd.Series(out)
-        if null.any():
-            res = res.astype("Float64")
-            res[null] = pd.NA
-        return res
+        # Float64 masked array built from explicit data+mask: a plain
+        # float64 Series maps NaN -> NULL at the Arrow boundary (and
+        # pd.array(..., 'Float64') converts NaN to NA at construction),
+        # but the fold propagates NaN as a VALUE — the FloatingArray
+        # keeps NaN in the data buffer and expresses NULL only through
+        # the mask
+        return pd.Series(pd.arrays.FloatingArray(out, null))
 
     # nondeterministic marking stops the optimizer from copying the
     # kernel below the cos>=threshold filter (guide §4.4: the pushed
